@@ -1,0 +1,151 @@
+"""CLI entry points (graft of the reference's argparse surface,
+utils.py:91-207, with validation-by-SystemExit and derived defaults).
+
+Subcommands (SURVEY.md §3.4):
+
+* ``init``            — create an empty Icelite transcript table
+* ``apply``           — tail a change-log dir and merge unapplied batches
+* ``replay-verify``   — rebuild from LSN 0 and diff vs the live table
+* ``gen``             — synthesize a deterministic change log (fixtures)
+
+Run via ``spark-submit --py-files engine.zip -m`` or plain ``python -m
+image_report_spark.cli`` (local mode). The module is pure ``--py-files``
+deployable: no native deps, no catalog service.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from image_report_spark.config import EngineConfig, get_selected_metrics
+
+
+def build_session(master: str | None, shuffle_partitions: int) -> SparkSession:
+    b = SparkSession.builder.appName("image_report_spark")
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="image_report_spark")
+    p.add_argument("--master", default=None, help="Spark master (default: inherit)")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--buckets", type=int, default=32)
+
+    sp = sub.add_parser("apply")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--batches", type=int, default=None, help="max batches this run")
+    sp.add_argument("--metrics", default="basic",
+                    help="selector: basic|all|none|counts,-applied,... ")
+    sp.add_argument("--on-error", choices=["quarantine", "fail"], default="quarantine")
+    sp.add_argument("--update-missing", choices=["upsert", "quarantine"], default="upsert")
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--grouped-resolve", action="store_true")
+    sp.add_argument("--dedup-window", type=int, default=4)
+
+    sp = sub.add_parser("replay-verify")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--scratch", required=True)
+
+    sp = sub.add_parser("gen")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--convs", type=int, default=200)
+    sp.add_argument("--max-turns", type=int, default=20)
+    sp.add_argument("--batches", type=int, default=8)
+    sp.add_argument("--fmt", choices=["parquet", "jsonl"], default="parquet")
+    sp.add_argument("--dup-frac", type=float, default=0.0)
+    sp.add_argument("--late-frac", type=float, default=0.0)
+    sp.add_argument("--malformed-frac", type=float, default=0.0)
+    sp.add_argument("--hot-keys", type=int, default=0)
+    sp.add_argument("--hot-frac", type=float, default=0.0)
+    sp.add_argument("--evolve", action="store_true")
+
+    args = p.parse_args(argv)
+    # validation by SystemExit (graft of reference range checks)
+    if getattr(args, "buckets", 1) < 1:
+        p.error("--buckets must be >= 1")
+    if getattr(args, "metrics", None) is not None:
+        try:
+            get_selected_metrics(args.metrics)
+        except ValueError as e:
+            p.error(str(e))
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    if args.cmd == "gen":
+        from image_report_spark.fixtures import ChangeLogGenerator
+
+        gen = ChangeLogGenerator(
+            seed=args.seed, n_convs=args.convs, max_turns=args.max_turns,
+            n_batches=args.batches, dup_frac=args.dup_frac,
+            late_frac=args.late_frac, malformed_frac=args.malformed_frac,
+            hot_keys=args.hot_keys, hot_frac=args.hot_frac, evolve=args.evolve,
+        )
+        paths = gen.write_log(args.out, fmt=args.fmt)
+        print(json.dumps({"batches": len(paths), "events": len(gen.events())}))
+        return 0
+
+    spark = build_session(args.master, args.shuffle_partitions)
+    from image_report_spark.engine import CdcEngine
+
+    if args.cmd == "init":
+        CdcEngine.init(spark, args.table, args.checkpoint,
+                       config=EngineConfig(num_buckets=args.buckets))
+        print(json.dumps({"table": args.table, "status": "created"}))
+        return 0
+
+    if args.cmd == "apply":
+        cfg = EngineConfig(
+            num_buckets=args.buckets,
+            shuffle_partitions=args.shuffle_partitions,
+            on_error=args.on_error,
+            update_missing=args.update_missing,
+            metrics=args.metrics,
+            grouped_resolve=args.grouped_resolve,
+        )
+        eng = CdcEngine.init(spark, args.table, args.checkpoint, config=cfg,
+                             dedup_window_batches=args.dedup_window)
+        reports = eng.run(args.log, max_batches=args.batches)
+        ok = all(r.conservation_ok() for r in reports if not r.skipped)
+        for r in reports:
+            print(json.dumps(r.ledger(cfg.selected_metrics) | {"skipped": r.skipped}))
+        # exit 1 if any batch failed its invariant (graft of ir:614-615)
+        return 0 if ok else 1
+
+    if args.cmd == "replay-verify":
+        eng = CdcEngine(spark, args.table, args.checkpoint)
+        report = eng.replay_verify(args.log, args.scratch)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,145 @@
+"""Engine configuration + metric-selector algebra.
+
+The selector algebra grafts the reference's hash-selection grammar
+(``get_selected_hashes``, reference ``hashing_config.py:531-585``): a
+comma-separated spec where bare names/categories include (set union),
+``-name`` excludes (set difference), ``all`` selects everything, ``none``
+selects nothing, and an all-negative spec means "complement from ALL".
+Here the selectable items are per-batch lineage *metrics* instead of image
+hashes — cheap ledger columns the engine computes and records per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# --- metric registry (analog of ALL_HASHES, reference hashing_config.py:507-509) ---
+
+METRIC_CATEGORIES: dict[str, set[str]] = {
+    # conservation-ledger counts (graft of report-schema-v2.md:116-137)
+    "counts": {
+        "events_read", "applied", "deduped", "superseded", "quarantined",
+        "rows_before", "inserts", "updates", "deletes", "rows_after",
+    },
+    # content digests (graft of the reference's hash family, hashing_config.py:446-509)
+    "checksum": {"partition_checksum", "table_digest"},
+    # timings (graft of duration_sec attributes, reference ir:218-221,347-353)
+    "timing": {"wall_ms"},
+    # per-batch op histogram (graft of histogram agg, hashing_config.py:71-79)
+    "histogram": {"op_histogram"},
+}
+
+ALL_METRICS: set[str] = set().union(*METRIC_CATEGORIES.values())
+
+#: the default selection ("basic") — counts + checksums + timing
+BASIC_METRICS: set[str] = (
+    METRIC_CATEGORIES["counts"] | METRIC_CATEGORIES["checksum"] | METRIC_CATEGORIES["timing"]
+)
+
+
+def get_selected_metrics(spec: str | None) -> set[str]:
+    """Resolve a selector spec to a set of metric names.
+
+    Grammar (graft of reference ``hashing_config.py:531-585``):
+
+    - ``None`` / ``""`` / ``"basic"`` → :data:`BASIC_METRICS`
+    - ``"all"`` → every registered metric
+    - ``"none"`` → empty set
+    - comma-separated tokens: a bare token adds a metric or a whole
+      category; a ``-`` prefix removes it
+    - a spec containing *only* negative tokens starts from ALL
+      (complement semantics, as in the reference)
+
+    Unknown tokens raise ``ValueError`` (the reference logs-and-ignores;
+    we fail fast — config errors should not be silent in a pipeline).
+    """
+    if spec is None or spec.strip() in ("", "basic"):
+        return set(BASIC_METRICS)
+    tokens = [t.strip() for t in spec.split(",") if t.strip()]
+    if tokens == ["all"]:
+        return set(ALL_METRICS)
+    if tokens == ["none"]:
+        return set()
+
+    positives = [t for t in tokens if not t.startswith("-")]
+    negatives = [t[1:] for t in tokens if t.startswith("-")]
+
+    def expand(token: str) -> set[str]:
+        if token == "all":
+            return set(ALL_METRICS)
+        if token == "basic":
+            return set(BASIC_METRICS)
+        if token in METRIC_CATEGORIES:
+            return set(METRIC_CATEGORIES[token])
+        if token in ALL_METRICS:
+            return {token}
+        raise ValueError(f"unknown metric or category: {token!r}")
+
+    if positives:
+        selected: set[str] = set()
+        for t in positives:
+            selected |= expand(t)
+    else:
+        # all-negative spec → complement from ALL (reference semantics)
+        selected = set(ALL_METRICS)
+    for t in negatives:
+        selected -= expand(t)
+    return selected
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for the CDC apply path.
+
+    Defaults are sized for the sandbox (``local[32]``); on a real cluster
+    ``num_buckets`` and ``shuffle_partitions`` scale with executor count.
+    """
+
+    #: number of hash buckets the target table is partitioned into
+    #: (partition column ``p = pmod(xxhash64(conv_id), num_buckets)``)
+    num_buckets: int = 32
+
+    #: shuffle parallelism for merge/window stages
+    shuffle_partitions: int = 32
+
+    #: failure policy (graft of continue_on_error, reference ir:500-506):
+    #: "quarantine" routes malformed events to a quarantine sink and commits;
+    #: "fail" aborts the batch (no manifest commit → atomicity preserved)
+    on_error: str = "quarantine"
+
+    #: how an update of a missing key is handled: "upsert" (insert it) or
+    #: "quarantine"
+    update_missing: str = "upsert"
+
+    #: metric selector spec (see get_selected_metrics)
+    metrics: str = "basic"
+
+    #: change events per conv_id above which the key is considered hot and
+    #: salted before wide stages (salt = pmod(xxhash64(turn_idx), skew_salt))
+    hot_key_threshold: int = 100_000
+
+    #: number of salt values for hot keys
+    skew_salt: int = 16
+
+    #: use the applyInPandas per-conversation ordered-apply resolver instead
+    #: of the window-function resolver (semantically identical; the grouped
+    #: path exists for stateful per-conversation extensions)
+    grouped_resolve: bool = False
+
+    #: manifest format version (graft of the v2 16-bit-ceiling escape hatch,
+    #: reference docs/report-schema-v2.md:96-105)
+    format_version: int = 1
+
+    selected_metrics: set[str] = field(init=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.on_error not in ("quarantine", "fail"):
+            raise ValueError(f"on_error must be quarantine|fail, got {self.on_error!r}")
+        if self.update_missing not in ("upsert", "quarantine"):
+            raise ValueError(
+                f"update_missing must be upsert|quarantine, got {self.update_missing!r}"
+            )
+        if self.num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        self.selected_metrics = get_selected_metrics(self.metrics)

@@ -1,0 +1,485 @@
+"""CdcEngine — the apply/merge core.
+
+Per micro-batch (SURVEY.md §3.4 lifecycle):
+
+1. quarantine malformed events (per-item error isolation — graft of
+   reference ir:208-216: record the failure, never abort the record set);
+2. reconcile the batch schema with the table schema (additive evolution);
+3. drop exact replays: duplicate LSNs within the batch, then the bounded
+   cross-batch dedup window (boundary filter + recent-LSN anti-join);
+4. resolve last-writer-wins per key (window fast path, or the
+   ``applyInPandas`` per-conversation ordered path with hot-key salting);
+5. copy-on-write MERGE into only the touched partitions (union + one
+   ranking window; untouched partitions carry forward metadata-only);
+6. compute the conservation ledger + per-partition lineage (counts,
+   last-applied LSN, order-independent checksum);
+7. write data files, commit the table snapshot (atomic pointer swap), then
+   the checkpoint marker — crash at any boundary resumes cleanly because
+   markers are written last and the merge is idempotent.
+
+Everything is DataFrame ops + window functions + Arrow-vectorized pandas
+(grouped path); no per-row Python anywhere (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from image_report_spark.config import EngineConfig
+from image_report_spark.functions.digests import canonical_cols, SEP, table_digest
+from image_report_spark.operators.evolution import reconcile_schema
+from image_report_spark.operators.resolve import (
+    dedup_exact_replays,
+    resolve_lww_grouped,
+    resolve_lww_window,
+)
+from image_report_spark.operators.skew import detect_hot_keys, salt_hot_keys
+from image_report_spark.plans.checkpoint import Checkpoint
+from image_report_spark.plans.icelite import IceliteTable, partition_expr, PART_COL
+from image_report_spark.sources.changelog import ChangeLogSource
+
+#: the transcript table schema (BASELINE.json:15, input_hint)
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+class BatchAborted(RuntimeError):
+    """Raised under ``on_error='fail'`` — no snapshot/marker is committed."""
+
+
+@dataclass
+class BatchReport:
+    batch_id: int
+    snapshot_id: int | None = None
+    skipped: bool = False
+    events_read: int = 0
+    quarantined: int = 0
+    deduped: int = 0
+    superseded: int = 0
+    applied: int = 0
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    rows_before: int = 0
+    rows_after: int = 0
+    partitions_touched: int = 0
+    wall_ms: int = 0
+    table_digest: str | None = None
+    op_histogram: dict = field(default_factory=dict)
+
+    def ledger(self, selected: set[str]) -> dict:
+        base = {
+            "batch_id": self.batch_id,
+            "partitions_touched": self.partitions_touched,
+            "format_version": 1,
+        }
+        for k in (
+            "events_read applied deduped superseded quarantined "
+            "rows_before inserts updates deletes rows_after".split()
+        ):
+            if k in selected:
+                base[k] = getattr(self, k)
+        if "wall_ms" in selected:
+            base["wall_ms"] = self.wall_ms
+        if "table_digest" in selected:
+            base["table_digest"] = self.table_digest
+        if "op_histogram" in selected:
+            base["op_histogram"] = self.op_histogram
+        return base
+
+    def conservation_ok(self) -> bool:
+        return (
+            self.applied + self.deduped + self.superseded + self.quarantined
+            == self.events_read
+            and self.rows_before + self.inserts - self.deletes == self.rows_after
+        )
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        checkpoint_root: str,
+        config: EngineConfig | None = None,
+        dedup_window_batches: int = 4,
+    ):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.table = IceliteTable(spark, table_root)
+        self.checkpoint = Checkpoint(spark, checkpoint_root, dedup_window_batches)
+
+    # ----------------------------------------------------------------- setup
+    @classmethod
+    def init(
+        cls,
+        spark: SparkSession,
+        table_root: str,
+        checkpoint_root: str,
+        schema: StructType = TRANSCRIPT_SCHEMA,
+        config: EngineConfig | None = None,
+        dedup_window_batches: int = 4,
+    ) -> "CdcEngine":
+        config = config or EngineConfig()
+        eng = cls(spark, table_root, checkpoint_root, config, dedup_window_batches)
+        if not eng.table.exists():
+            IceliteTable.create(
+                spark,
+                table_root,
+                schema,
+                num_buckets=config.num_buckets,
+                format_version=config.format_version,
+            )
+            # checksum column set is frozen at creation so partition digests
+            # stay comparable across schema evolution (evolved columns are
+            # verified by full-content replay diff, not by the rolling digest)
+            snap = eng.table.snapshot()
+            snap["checksum_columns"] = [f.name for f in schema.fields]
+            eng.table._write_snapshot(snap)
+        return eng
+
+    # ------------------------------------------------------------ the merge
+    def apply_batch(self, changes_raw: DataFrame, batch_id: int) -> BatchReport:
+        t0 = time.monotonic()
+        cfg = self.config
+        rpt = BatchReport(batch_id=batch_id)
+        snap = self.table.snapshot()
+        logical = self.table.logical_schema(snap)
+        num_buckets = self.table.num_buckets(snap)
+        checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+
+        rpt.events_read = changes_raw.count()
+
+        # 1. quarantine split (graft of per-item error isolation, ir:208-216)
+        malformed = (
+            F.col("lsn").isNull()
+            | F.col("op").isNull()
+            | ~F.col("op").isin("I", "U", "D")
+        )
+        bad = changes_raw.filter(malformed)
+        rpt.quarantined = bad.count()
+        if rpt.quarantined:
+            if cfg.on_error == "fail":
+                raise BatchAborted(
+                    f"batch {batch_id}: {rpt.quarantined} malformed events "
+                    f"(on_error=fail) — no snapshot committed"
+                )
+            self._write_quarantine(bad, batch_id)
+        good = changes_raw.filter(~malformed)
+
+        # 2. additive schema evolution (Arrow schema reconciliation)
+        aligned, evolved = reconcile_schema(good, logical)
+        payload_cols = [f.name for f in evolved.fields]
+
+        # 3. exact-replay dedup: within batch, then the bounded cross-batch window
+        uniq = dedup_exact_replays(aligned)
+        boundary = self.checkpoint.boundary_lsn(batch_id)
+        if boundary >= 0:
+            uniq = uniq.filter(F.col("lsn") > boundary)
+        recent = self.checkpoint.recent_lsns_df(batch_id)
+        if recent is not None:
+            uniq = uniq.join(recent, "lsn", "left_anti")
+        uniq = uniq.persist()
+        try:
+            agg = uniq.agg(
+                F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx")
+            ).first()
+            valid_count, max_lsn = int(agg["n"]), agg["mx"]
+            rpt.deduped = rpt.events_read - rpt.quarantined - valid_count
+            if "op_histogram" in cfg.selected_metrics:
+                rpt.op_histogram = {
+                    r["op"]: r["n"]
+                    for r in uniq.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+
+            old_entries = {e["partition"]: e for e in snap["manifest"]}
+            rpt.rows_before = sum(e["live_rows"] for e in old_entries.values())
+
+            if valid_count == 0:
+                # empty-batch short-circuit (graft of empty-input guards,
+                # analysis.py:31-33): still commit a marker so resume sees it
+                rpt.rows_after = rpt.rows_before
+                sid = self.table.commit(
+                    {}, evolved, batch_id, rpt.ledger(cfg.selected_metrics),
+                    snap.get("table_digest"),
+                )
+                rpt.snapshot_id = sid
+                rpt.table_digest = snap.get("table_digest")
+                rpt.wall_ms = int((time.monotonic() - t0) * 1000)
+                self.checkpoint.commit_batch(
+                    batch_id, rpt.ledger(cfg.selected_metrics), sid,
+                    uniq.select("lsn"), max_lsn if max_lsn is not None else -1,
+                )
+                return rpt
+
+            events = uniq
+            if cfg.update_missing == "quarantine":
+                events, n_missing = self._quarantine_missing_updates(
+                    events, num_buckets, batch_id
+                )
+                rpt.quarantined += n_missing
+                valid_count -= n_missing
+
+            # 4. within-batch LWW resolution
+            if cfg.grouped_resolve:
+                hot = detect_hot_keys(events, threshold=cfg.hot_key_threshold)
+                winners = resolve_lww_grouped(
+                    salt_hot_keys(events, hot, n_salt=cfg.skew_salt)
+                ).drop("_salt")
+            else:
+                winners = resolve_lww_window(events)
+
+            # 5. COW merge into touched partitions only
+            winners = winners.withColumn(PART_COL, partition_expr(num_buckets))
+            touched = sorted(
+                r[0] for r in winners.select(PART_COL).distinct().collect()
+            )
+            rpt.partitions_touched = len(touched)
+
+            incumbent = self._read_physical(touched, evolved).withColumn(
+                "_src", F.lit(0)
+            )
+            evt = winners.select(
+                F.col(PART_COL),
+                *[F.col(c) for c in payload_cols],
+                F.col("lsn").alias("_lsn"),
+                F.col("op").alias("_op"),
+            ).withColumn("_src", F.lit(1))
+
+            keyw = Window.partitionBy("conv_id", "turn_idx")
+            order = keyw.orderBy(
+                F.col("ts").desc_nulls_last(),
+                F.col("_lsn").desc_nulls_last(),
+                F.col("_src").asc(),  # exact tie → incumbent wins (idempotence)
+            )
+            merged = (
+                incumbent.unionByName(evt)
+                .withColumn("_rn", F.row_number().over(order))
+                .withColumn(
+                    "_inc_live",
+                    F.max(
+                        F.when(
+                            (F.col("_src") == 0) & (F.col("_op") != "D"), 1
+                        ).otherwise(0)
+                    ).over(keyw),
+                )
+                .filter(F.col("_rn") == 1)
+                .persist()
+            )
+
+            ev_won = F.col("_src") == 1
+            upsert = F.col("_op").isin("I", "U")
+            stats = merged.agg(
+                F.sum(F.when(ev_won, 1).otherwise(0)).alias("applied"),
+                F.sum(F.when(ev_won & upsert & (F.col("_inc_live") == 0), 1).otherwise(0)).alias("ins"),
+                F.sum(F.when(ev_won & upsert & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("upd"),
+                F.sum(F.when(ev_won & (F.col("_op") == "D") & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("del"),
+                F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_after"),
+            ).first()
+            rpt.applied = int(stats["applied"] or 0)
+            rpt.inserts = int(stats["ins"] or 0)
+            rpt.updates = int(stats["upd"] or 0)
+            rpt.deletes = int(stats["del"] or 0)
+            rpt.superseded = valid_count - rpt.applied
+            touched_old_live = sum(
+                old_entries[p]["live_rows"] for p in touched if p in old_entries
+            )
+            rpt.rows_after = (
+                rpt.rows_before - touched_old_live + int(stats["live_after"] or 0)
+            )
+
+            # 6. per-partition lineage: counts + last LSN + order-independent digest
+            live_hash = F.when(
+                F.col("_op") != "D",
+                F.xxhash64(F.concat_ws(SEP, *canonical_cols(merged, checksum_cols))),
+            )  # NULL for tombstones → bit_xor skips them
+            part_rows = (
+                merged.withColumn("h", live_hash)
+                .groupBy(PART_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("row_count"),
+                    F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_rows"),
+                    F.max("_lsn").alias("last_applied_lsn"),
+                    F.lpad(F.hex(F.coalesce(F.expr("bit_xor(h)"), F.lit(0))), 16, "0").alias("checksum"),
+                )
+                .collect()
+            )
+
+            # 7. write files + commit snapshot + checkpoint marker (in order)
+            phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
+            files = self.table.write_partition_files(merged.select(*phys_cols), batch_id)
+
+            replaced = {}
+            for r in part_rows:
+                p = int(r[PART_COL])
+                replaced[p] = {
+                    "files": files.get(p, []),
+                    "row_count": int(r["row_count"]),
+                    "live_rows": int(r["live_rows"]),
+                    "checksum": r["checksum"],
+                    "last_applied_lsn": int(r["last_applied_lsn"])
+                    if r["last_applied_lsn"] is not None
+                    else None,
+                }
+            # table digest over the NEW manifest (replaced + carried forward)
+            all_entries = dict(old_entries)
+            all_entries.update(replaced)
+            digest = table_digest(
+                [
+                    (p, e["live_rows"], e["checksum"])
+                    for p, e in all_entries.items()
+                ]
+            )
+            rpt.table_digest = digest
+            rpt.wall_ms = int((time.monotonic() - t0) * 1000)
+            ledger = rpt.ledger(cfg.selected_metrics)
+            sid = self.table.commit(replaced, evolved, batch_id, ledger, digest)
+            rpt.snapshot_id = sid
+            self.checkpoint.commit_batch(
+                batch_id, ledger, sid, uniq.select("lsn"),
+                max_lsn if max_lsn is not None else -1,
+            )
+            merged.unpersist()
+        finally:
+            uniq.unpersist()
+        return rpt
+
+    # ------------------------------------------------------------------ run
+    def run(self, log_dir: str, max_batches: int | None = None) -> list[BatchReport]:
+        """Tail the log directory, applying unapplied batches in order
+        (crash-resume: committed markers are skipped)."""
+        source = ChangeLogSource(self.spark, log_dir)
+        reports: list[BatchReport] = []
+        done = 0
+        for batch_id, path in source.list_batches():
+            if max_batches is not None and done >= max_batches:
+                break
+            done += 1
+            if self.checkpoint.is_applied(batch_id):
+                reports.append(BatchReport(batch_id=batch_id, skipped=True))
+                continue
+            reports.append(self.apply_batch(source.read_batch(path), batch_id))
+        return reports
+
+    # ------------------------------------------------------------------ read
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        return self.table.read(snapshot_id)
+
+    def current_table_digest(self) -> str | None:
+        return self.table.snapshot().get("table_digest")
+
+    # --------------------------------------------------------- replay-verify
+    def replay_verify(self, log_dir: str, scratch_root: str) -> dict:
+        """Rebuild from LSN 0 into a scratch table; diff against the
+        incrementally-maintained table (graft of the v2 validator checklist,
+        docs/report-schema-v2.md:352-368). Returns a report dict; ``ok`` is
+        True iff content + digests match exactly."""
+        fresh = CdcEngine.init(
+            self.spark,
+            os.path.join(scratch_root, "table"),
+            os.path.join(scratch_root, "checkpoint"),
+            schema=StructType(
+                [f for f in self.table.logical_schema().fields]
+            ),
+            config=self.config,
+            dedup_window_batches=self.checkpoint.window,
+        )
+        fresh.run(log_dir)
+        a, b = self.read(), fresh.read()
+        cols = sorted(set(a.columns) & set(b.columns))
+        missing_in_b = a.select(cols).exceptAll(b.select(cols)).count()
+        missing_in_a = b.select(cols).exceptAll(a.select(cols)).count()
+        da, db = self.current_table_digest(), fresh.current_table_digest()
+        return {
+            "ok": missing_in_a == 0 and missing_in_b == 0 and da == db,
+            "rows_incremental": a.count(),
+            "rows_replay": b.count(),
+            "only_in_incremental": missing_in_b,
+            "only_in_replay": missing_in_a,
+            "digest_incremental": da,
+            "digest_replay": db,
+        }
+
+    # -------------------------------------------------------------- internals
+    def _read_physical(self, partitions: list[int], logical: StructType) -> DataFrame:
+        """Touched-partition scan through the *evolved* schema projection."""
+        snap = self.table.snapshot()
+        from image_report_spark.plans.icelite import physical_schema
+
+        phys = physical_schema(logical)
+        files = []
+        for e in snap["manifest"]:
+            if e["partition"] in partitions:
+                files.extend(os.path.join(self.table.root, f) for f in e["files"])
+        if not files:
+            return self.spark.createDataFrame([], phys)
+        return self.spark.read.schema(phys).parquet(*files)
+
+    def _write_quarantine(self, bad: DataFrame, batch_id: int) -> None:
+        reason = (
+            F.when(F.col("lsn").isNull(), F.lit("failed:null_lsn"))
+            .when(F.col("op").isNull(), F.lit("failed:null_op"))
+            .otherwise(F.concat(F.lit("failed:bad_op:"), F.col("op")))
+        )
+        out = os.path.join(self.table.root, "_quarantine", f"b{batch_id:05d}")
+        (
+            bad.withColumn("_status", reason)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    def _quarantine_missing_updates(
+        self, events: DataFrame, num_buckets: int, batch_id: int
+    ) -> tuple[DataFrame, int]:
+        """update_missing='quarantine': U events whose key has no live
+        incumbent and no same-batch insert are quarantined pre-resolution."""
+        key = ["conv_id", "turn_idx"]
+        with_p = events.withColumn(PART_COL, partition_expr(num_buckets))
+        touched = [r[0] for r in with_p.select(PART_COL).distinct().collect()]
+        live_keys = (
+            self.table.read(partitions=touched).select(*key).distinct()
+        )
+        insert_keys = events.filter(F.col("op") == "I").select(*key).distinct()
+        ok_keys = live_keys.unionByName(insert_keys).distinct()
+        missing = events.filter(F.col("op") == "U").join(ok_keys, key, "left_anti")
+        n = missing.count()
+        if n:
+            out = os.path.join(
+                self.table.root, "_quarantine", f"b{batch_id:05d}-missing-updates"
+            )
+            missing.withColumn("_status", F.lit("failed:update_of_missing_key")).write.mode(
+                "overwrite"
+            ).parquet(out)
+            events = events.join(
+                missing.select("lsn"), "lsn", "left_anti"
+            )
+        return events, n
+
+    def quarantine_df(self) -> DataFrame | None:
+        qdir = os.path.join(self.table.root, "_quarantine")
+        if not os.path.isdir(qdir) or not os.listdir(qdir):
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(qdir, "*")
+        )

@@ -1,0 +1,289 @@
+"""Icelite — an Iceberg-style table layer over partitioned Parquet.
+
+No lakehouse jars exist in this sandbox (verified in SURVEY.md), so the
+engine owns a minimal snapshot/manifest format with the Iceberg properties
+the north rule needs:
+
+* **ACID commits** via atomic metadata-pointer swap: data files + a new
+  ``metadata/v{N}.json`` are fully written *before* ``version-hint.text``
+  is atomically renamed over — readers see the old or the new snapshot,
+  never a torn state (graft of the reference's write-then-close XML sink,
+  ir:402-413, hardened to rename-atomicity).
+* **Copy-on-write at partition granularity**: a commit replaces the file
+  lists of touched partitions and carries every untouched partition's
+  entry forward *by reference* (metadata-only) — at 100 TB a batch that
+  touches 1% of partitions rewrites 1% of the data and zero% of the rest.
+* **Partition pruning at metadata level**: ``read(partitions=...)`` builds
+  the file list from the manifest, so Spark never even lists untouched
+  files.
+* **Time travel**: any retained ``vN.json`` is readable by snapshot id.
+* **Schema evolution**: the snapshot carries the logical schema; old data
+  files are read through schema projection (missing columns → NULL).
+
+Layout::
+
+    table/
+      metadata/version-hint.text   ← atomic pointer (current N)
+      metadata/v{N}.json           ← snapshot: schema, manifest, ledger
+      data/b{batch}/p{part}-{i}.parquet
+
+On a real cluster the sink swaps for ``iceberg-spark-runtime``
+(``df.writeTo(tbl)`` / ``MERGE INTO``) behind the same interface; atomic
+rename requires an HDFS-like FS or an Iceberg catalog there.
+
+Physical row schema = ``_p:int`` (partition id) + logical columns +
+lineage ``_lsn:long`` (winning event) + ``_op:string`` (I/U/D; ``D`` rows
+are tombstones that logical reads filter out).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+LINEAGE_FIELDS = [
+    StructField("_lsn", LongType(), True),
+    StructField("_op", StringType(), True),
+]
+PART_COL = "_p"
+
+
+def physical_schema(logical: StructType) -> StructType:
+    return StructType(
+        [StructField(PART_COL, IntegerType(), False)]
+        + list(logical.fields)
+        + LINEAGE_FIELDS
+    )
+
+
+def partition_expr(num_buckets: int):
+    """``p = pmod(xxhash64(conv_id), num_buckets)`` — bucket partitioning on
+    the conversation key keeps a conversation co-located (conversation-level
+    scans touch one bucket) while spreading conversations uniformly."""
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(num_buckets)).cast("int")
+
+
+class IceliteTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        logical_schema: StructType,
+        num_buckets: int = 32,
+        format_version: int = 1,
+    ) -> "IceliteTable":
+        t = cls(spark, root)
+        if t.exists():
+            raise FileExistsError(f"table already exists at {root}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = {
+            "format_version": format_version,
+            "snapshot_id": 0,
+            "parent_snapshot_id": None,
+            "batch_id": None,
+            "schema": logical_schema.jsonValue(),
+            "partition_spec": {
+                "kind": "bucket",
+                "column": "conv_id",
+                "num_buckets": num_buckets,
+            },
+            "manifest": [],
+            "ledger": None,
+            "table_digest": None,
+        }
+        t._write_snapshot(snap)
+        t._swap_pointer(0)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.meta_dir, "version-hint.text"))
+
+    # ------------------------------------------------------------- metadata
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "version-hint.text")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict:
+        sid = self.current_version() if snapshot_id is None else snapshot_id
+        path = os.path.join(self.meta_dir, f"v{sid}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def logical_schema(self, snap: dict | None = None) -> StructType:
+        snap = snap or self.snapshot()
+        return StructType.fromJson(snap["schema"])
+
+    def num_buckets(self, snap: dict | None = None) -> int:
+        snap = snap or self.snapshot()
+        return snap["partition_spec"]["num_buckets"]
+
+    # ------------------------------------------------------------- read path
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        partitions: list[int] | None = None,
+        with_lineage: bool = False,
+    ) -> DataFrame:
+        """Scan the table at a snapshot.
+
+        ``partitions`` prunes at the *metadata* level: only manifest entries
+        for those bucket ids contribute files. Logical reads filter
+        tombstones and hide lineage columns.
+        """
+        snap = self.snapshot(snapshot_id)
+        logical = self.logical_schema(snap)
+        phys = physical_schema(logical)
+        files: list[str] = []
+        for e in snap["manifest"]:
+            if partitions is not None and e["partition"] not in partitions:
+                continue
+            files.extend(os.path.join(self.root, f) for f in e["files"])
+        if not files:
+            df = self.spark.createDataFrame([], phys)
+        else:
+            # explicit schema = projection over evolved files (missing → NULL)
+            df = self.spark.read.schema(phys).parquet(*files)
+        if not with_lineage:
+            df = df.filter(F.col("_op") != F.lit("D")).drop("_lsn", "_op", PART_COL)
+        return df
+
+    # ------------------------------------------------------------ write path
+    def write_partition_files(self, df_physical: DataFrame, batch_id: int) -> dict[int, list[str]]:
+        """Write physical rows as one-or-more Parquet files per partition.
+
+        ``df_physical`` must carry the full physical schema. Rows are
+        re-shuffled onto their bucket and sorted within partitions by
+        ``(conv_id, turn_idx)`` so files are byte-deterministic for a given
+        input (graft of the reference's deterministic reading-order output,
+        docs/report-schema-v2.md:94-96). Returns partition → relative file
+        paths (empty partitions yield no files).
+        """
+        staging = os.path.join(self.root, "tmp", f"b{batch_id}-{uuid.uuid4().hex[:8]}")
+        (
+            df_physical.withColumn("p", F.col(PART_COL))
+            .repartition(F.col(PART_COL))
+            .sortWithinPartitions(PART_COL, "conv_id", "turn_idx")
+            .write.partitionBy("p")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        batch_dir = os.path.join(self.data_dir, f"b{batch_id:05d}")
+        os.makedirs(batch_dir, exist_ok=True)
+        out: dict[int, list[str]] = {}
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith("p="):
+                continue
+            part = int(name.split("=", 1)[1])
+            srcs = sorted(
+                f for f in os.listdir(os.path.join(staging, name)) if f.endswith(".parquet")
+            )
+            rels = []
+            for i, src in enumerate(srcs):
+                rel = os.path.join("data", f"b{batch_id:05d}", f"p{part:05d}-{i:04d}.parquet")
+                os.replace(os.path.join(staging, name, src), os.path.join(self.root, rel))
+                rels.append(rel)
+            out[part] = rels
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def commit(
+        self,
+        replaced: dict[int, dict],
+        schema: StructType,
+        batch_id: int | None,
+        ledger: dict | None,
+        table_digest: str | None = None,
+    ) -> int:
+        """Commit a new snapshot: replaced partition entries + carry-forward.
+
+        ``replaced[partition]`` = ``{"files": [...], "row_count": int,
+        "live_rows": int, "checksum": str, "last_applied_lsn": int}``.
+        Untouched partitions keep their previous manifest entries verbatim
+        (metadata-only carry-forward). Returns the new snapshot id.
+        """
+        prev = self.snapshot()
+        new_manifest = [
+            e for e in prev["manifest"] if e["partition"] not in replaced
+        ]
+        for part in sorted(replaced):
+            entry = dict(replaced[part])
+            entry["partition"] = part
+            new_manifest.append(entry)
+        new_manifest.sort(key=lambda e: e["partition"])
+        sid = prev["snapshot_id"] + 1
+        snap = {
+            "format_version": prev["format_version"],
+            "snapshot_id": sid,
+            "parent_snapshot_id": prev["snapshot_id"],
+            "batch_id": batch_id,
+            "schema": schema.jsonValue(),
+            "partition_spec": prev["partition_spec"],
+            "manifest": new_manifest,
+            "ledger": ledger,
+            "table_digest": table_digest,
+        }
+        if "checksum_columns" in prev:
+            snap["checksum_columns"] = prev["checksum_columns"]
+        self._write_snapshot(snap)
+        self._swap_pointer(sid)
+        return sid
+
+    # -------------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop old snapshots and delete data files no retained snapshot
+        references (Iceberg ``expireSnapshots`` analog). Returns #files
+        deleted."""
+        sids = self.snapshots()
+        keep = set(sids[-keep_last:]) | {self.current_version()}
+        referenced: set[str] = set()
+        for sid in keep:
+            for e in self.snapshot(sid)["manifest"]:
+                referenced.update(e["files"])
+        deleted = 0
+        for dirpath, _, files in os.walk(self.data_dir):
+            for f in files:
+                rel = os.path.relpath(os.path.join(dirpath, f), self.root)
+                if rel not in referenced:
+                    os.remove(os.path.join(dirpath, f))
+                    deleted += 1
+        for sid in sids:
+            if sid not in keep:
+                os.remove(os.path.join(self.meta_dir, f"v{sid}.json"))
+        return deleted
+
+    # -------------------------------------------------------------- internals
+    def _write_snapshot(self, snap: dict) -> None:
+        path = os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    def _swap_pointer(self, sid: int) -> None:
+        path = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, path)  # POSIX-atomic: readers see old or new, never torn

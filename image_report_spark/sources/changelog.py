@@ -1,0 +1,87 @@
+"""Change-log source: tail a directory of binlog/WAL-style batch files.
+
+Graft of the reference's batch scan (directory glob + case-insensitive
+resolve-dedup + deterministic ordering, ir:544-565) and its multi-format
+registry (utils.py:22-43): the tailer lists ``batch-*.{parquet,jsonl}``,
+dedupes by canonical path, and orders by batch ordinal (monotone LSN
+ranges per file by producer contract). Two codecs behind one interface —
+Parquet (columnar fast path) and JSON-lines (the ``from_json`` path for
+text binlogs); adding a codec is one entry in :data:`CODECS`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BATCH_RE = re.compile(r"batch-(\d+)\.(parquet|jsonl|json)$")
+
+#: event-header types every codec must normalize to (payload types are
+#: whatever the batch carries; schema reconciliation handles evolution)
+HEADER_TYPES = {
+    "lsn": "long",
+    "op": "string",
+    "conv_id": "string",
+    "turn_idx": "int",
+    "ts": "timestamp",
+}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    # schema inference per micro-batch file is fine: one file, bounded size;
+    # header columns are then cast to canonical types (ISO ts strings → ts)
+    return spark.read.json(path)
+
+
+CODECS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "parquet": _read_parquet,
+    "jsonl": _read_jsonl,
+    "json": _read_jsonl,
+}
+
+
+def normalize_header(df: DataFrame) -> DataFrame:
+    """Cast the event-header columns to canonical types (codec-agnostic)."""
+    for name, typ in HEADER_TYPES.items():
+        if name in df.columns:
+            df = df.withColumn(name, F.col(name).cast(typ))
+    return df
+
+
+class ChangeLogSource:
+    """Lists and reads micro-batch files from a log directory."""
+
+    def __init__(self, spark: SparkSession, log_dir: str):
+        self.spark = spark
+        self.log_dir = log_dir
+
+    def list_batches(self) -> list[tuple[int, str]]:
+        """(batch_id, canonical_path) sorted by id; duplicates (same file
+        reachable twice, e.g. via symlink) collapse to one entry — graft of
+        resolve()-dedup, reference ir:549-557."""
+        seen: dict[str, tuple[int, str]] = {}
+        if not os.path.isdir(self.log_dir):
+            return []
+        for name in sorted(os.listdir(self.log_dir)):
+            m = _BATCH_RE.search(name)
+            if not m:
+                continue
+            path = os.path.join(self.log_dir, name)
+            canon = os.path.realpath(path)
+            seen.setdefault(canon, (int(m.group(1)), path))
+        return sorted(seen.values())
+
+    def read_batch(self, path: str) -> DataFrame:
+        ext = path.rsplit(".", 1)[-1].lower()
+        codec = CODECS.get(ext)
+        if codec is None:
+            raise ValueError(f"unsupported change-log format: {path}")
+        return normalize_header(codec(self.spark, path))
