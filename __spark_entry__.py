@@ -1,38 +1,731 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: a full CDC replay (change stream derived
+deterministically from the ``events`` table) through the engine's
+Icelite MERGE path at sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+class from SURVEY.md §2 plus the training-data-pipeline operators; each
+Spark query is mirrored by ANSI SQL DuckDB runs on the same parquet.
+Column names and types are aligned on both sides (driver hashes values
+after sorting columns by name). Floats are rounded on both sides;
+timestamps are compared as epoch microseconds.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Spark 4 reads parquet naive timestamps as TIMESTAMP_NTZ; normalize to
+    # TIMESTAMP (session tz = UTC) so epoch math matches DuckDB's epoch_us
+    for f_ in df.schema.fields:
+        if f_.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# CDC: change stream derived deterministically from the events table
+# ---------------------------------------------------------------------------
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit("U"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("I"))
+    )
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+_CHANGES_SQL = """
+    SELECT event_id AS lsn,
+           CASE WHEN event_type IN ('click','purchase') THEN 'U'
+                WHEN event_type = 'error' THEN 'D' ELSE 'I' END AS op,
+           'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 8 AS INT) AS turn_idx,
+           event_type AS role, props AS text, ts
+    FROM events
+"""
+
+_FINAL_TABLE_SQL = f"""
+    WITH changes AS ({_CHANGES_SQL}),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY conv_id, turn_idx
+                                ORDER BY ts DESC, lsn DESC) AS rn
+      FROM changes
+    )
+    SELECT conv_id, turn_idx, role, text, epoch_us(ts) AS ts_us
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_replay_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: replay the derived change stream through the real
+    engine (Icelite table, exactly-once checkpoint, COW merge) in two
+    micro-batches, then read the final table back."""
+    from image_report_spark.config import EngineConfig
+    from image_report_spark.engine import CdcEngine
+
+    changes = _changes(spark, sf_dir)
+    mid = changes.agg(F.expr("percentile_approx(lsn, 0.5)")).first()[0]
+    scratch = os.path.join("/tmp", f"irs-entry-{uuid.uuid4().hex[:8]}")
+    try:
+        eng = CdcEngine.init(
+            spark,
+            os.path.join(scratch, "table"),
+            os.path.join(scratch, "checkpoint"),
+            config=EngineConfig(num_buckets=16),
+        )
+        eng.apply_batch(changes.filter(F.col("lsn") <= mid), 0)
+        eng.apply_batch(changes.filter(F.col("lsn") > mid), 1)
+        out = eng.read().select(
+            "conv_id", "turn_idx", "role", "text", F.unix_micros("ts").alias("ts_us")
+        )
+        # materialize before the scratch dir is removed
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 graft: last-writer-wins winner per key as a plain window."""
+    ch = _changes(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(), F.col("lsn").desc()
+    )
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("conv_id", "turn_idx", "role", "text", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+def q_cdc_dedup_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-replay dedup (duplicate LSNs dropped) — the stream doubled,
+    dedup by lsn, op histogram."""
+    ch = _changes(spark, sf_dir)
+    doubled = ch.unionAll(ch)
+    return (
+        doubled.dropDuplicates(["lsn"])
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (SURVEY.md §2) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6: hash aggregate with partial combine (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast hash join of facts with a small dimension."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q3_multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain + top-k (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q4_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: self theta-join on an interval predicate (events within 60 s)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(F.col("user_id"), F.col("event_id").alias("id_a"),
+                  F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a"))
+    b = ev.select(F.col("user_id"), F.col("event_id").alias("id_b"),
+                  F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q5_two_pass_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 graft (Otsu shape): derive a global threshold, then filter by it."""
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.agg((F.avg("value") * 1.5).alias("thr"))
+    return (
+        ev.crossJoin(thr)
+        .filter(F.col("value") > F.col("thr"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("value"), 6).alias("avg_above"),
+        )
+    )
+
+
+def q6_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: fixed-width binning aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q7_quadrant_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: quadrant-distribution groupBy over two derived boolean flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            (F.col("l_quantity") > 25).alias("hi_qty"),
+            (F.col("l_discount") > 0.05).alias("hi_disc"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q8_zone_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: tiled (zone) group-by density."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_custkey") / 15).cast("long").alias("zone"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+    )
+
+
+def q9_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-group analytic lag (inter-event gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.floor(F.avg("gap_us")).cast("long").alias("avg_gap_us"),
+        )
+    )
+
+
+def q10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: symmetric rows-frame sliding aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-1, 1)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("mov_sum"),
+    )
+
+
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/O5: ranked top-3 per group."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "rk",
+                F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+def q12_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: argmax per group (deterministic tie-break by key)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def q13_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 graft: run-length encoding of per-user event-type sequences."""
+    from image_report_spark.functions.rle import rle_encode
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return rle_encode(ev, key="user_id", pos="event_id", value="event_type")
+
+
+def q14_group_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 graft: order-canonicalized content digest per group."""
+    docs = _t(spark, sf_dir, "documents")
+    ids_sorted = F.array_sort(F.collect_list(F.col("doc_id")))
+    return docs.groupBy("source").agg(
+        F.md5(
+            F.concat_ws(",", F.transform(ids_sorted, lambda x: x.cast("string")))
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q15_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: set algebra — customers with orders minus big spenders."""
+    orders = _t(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_cust.exceptAll(big)
+
+
+def q16_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: dedup by canonical key."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a deterministic duplicated subset (doc_id+1000000)."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(dups)
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: canonical id + dup ids over identical text."""
+    from image_report_spark.operators.dedupe import exact_duplicates
+
+    return exact_duplicates(_docs_with_dups(spark, sf_dir)).orderBy("dup_id")
+
+
+def d2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact n-gram Jaccard.
+    (No SQL oracle — minhash isn't SQL-expressible; rows-only check.)"""
+    from image_report_spark.operators.dedupe import minhash_dedup
+
+    return minhash_dedup(_docs_with_dups(spark, sf_dir), threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def d3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash collision groups (vectorized pandas bit-fold).
+    (No SQL oracle; rows-only check.)"""
+    from image_report_spark.operators.dedupe import simhash_duplicates
+
+    return simhash_duplicates(_docs_with_dups(spark, sf_dir)).select(
+        "simhash", F.col("n").cast("long").alias("n")
+    )
+
+
+def t1_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: chars, words, BPE-ish tokens, punct ratio."""
+    from image_report_spark.functions.text import (
+        punct_ratio,
+        token_count,
+        word_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("chars"),
+        word_count(F.col("text")).cast("long").alias("words_n"),
+        token_count(F.col("text")).cast("long").alias("tokens_n"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def t2_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per source: docs, token mass, mean length."""
+    from image_report_spark.functions.text import token_count, word_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("tokens_total"),
+        F.sum(word_count(F.col("text")).cast("long")).alias("words_total"),
+        F.floor(F.avg(F.length("text"))).cast("long").alias("avg_chars"),
+    )
+
+
+def t3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column.
+    (No SQL oracle; rows-only check.)"""
+    from image_report_spark.functions.text import lang_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("guess", lang_guess(F.col("text")))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints, distinct count per source.
+    (No SQL oracle — xxhash64-based; rows-only check.)"""
+    from image_report_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"))
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def e1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors of vec_id 0 (JVM-side dot product)."""
+    from image_report_spark.operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_bruteforce(emb, _query_vec(spark, sf_dir), k=5)
+
+
+def e2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (scale path; rows-only check)."""
+    from image_report_spark.operators.similarity import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_lsh(emb, _query_vec(spark, sf_dir), k=5, n_planes=6)
+
+
+def e3_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization cell histogram (rows-only check)."""
+    from image_report_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, n_cells=16).groupBy(
+        F.col("_cell").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas feature extraction (stubbed
+    decode, real plumbing). Deterministic synth input; rows-only check."""
+    from image_report_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64, seed=7)
+    feats = extract_features(media)
+    return feats.groupBy("kind", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("byte_len").cast("long").alias("bytes_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: full engine CDC replay, final table."""
+    return q_cdc_replay_final_table(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_replay_final_table": q_cdc_replay_final_table,
+        "cdc_lww_window": q_cdc_lww_window,
+        "cdc_dedup_replays": q_cdc_dedup_replays,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_broadcast_dim_join": q2_broadcast_dim_join,
+        "q3_multi_join_topk": q3_multi_join_topk,
+        "q4_range_self_join": q4_range_self_join,
+        "q5_two_pass_threshold": q5_two_pass_threshold,
+        "q6_histogram": q6_histogram,
+        "q7_quadrant_flags": q7_quadrant_flags,
+        "q8_zone_density": q8_zone_density,
+        "q9_lag_delta": q9_lag_delta,
+        "q10_sliding_window": q10_sliding_window,
+        "q11_topk_per_group": q11_topk_per_group,
+        "q12_argmax_order": q12_argmax_order,
+        "q13_rle": q13_rle,
+        "q14_group_digest": q14_group_digest,
+        "q15_set_difference": q15_set_difference,
+        "q16_dedup_distinct": q16_dedup_distinct,
+        "d1_exact_dedup": d1_exact_dedup,
+        "d2_minhash_neardup": d2_minhash_neardup,
+        "d3_simhash_groups": d3_simhash_groups,
+        "t1_text_metrics": t1_text_metrics,
+        "t2_source_token_stats": t2_source_token_stats,
+        "t3_lang_guess": t3_lang_guess,
+        "t4_fingerprint": t4_fingerprint,
+        "e1_knn_bruteforce": e1_knn_bruteforce,
+        "e2_knn_lsh": e2_knn_lsh,
+        "e3_ivf_cells": e3_ivf_cells,
+        "m1_multimodal_features": m1_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_replay_final_table": _FINAL_TABLE_SQL,
+        "cdc_lww_window": _FINAL_TABLE_SQL,
+        "cdc_dedup_replays": f"""
+            WITH changes AS ({_CHANGES_SQL})
+            SELECT op, COUNT(*) AS n_events FROM changes GROUP BY op
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q2_broadcast_dim_join": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q3_multi_join_topk": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q4_range_self_join": """
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 60 SECOND
+            GROUP BY a.event_type, b.event_type
+        """,
+        "q5_two_pass_threshold": """
+            SELECT event_type,
+                   COUNT(*) AS n_above,
+                   ROUND(AVG(value), 6) AS avg_above
+            FROM events
+            WHERE value > (SELECT AVG(value) * 1.5 FROM events)
+            GROUP BY event_type
+        """,
+        "q6_histogram": """
+            SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q7_quadrant_flags": """
+            SELECT l_quantity > 25 AS hi_qty,
+                   l_discount > 0.05 AS hi_disc,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q8_zone_density": """
+            SELECT CAST(FLOOR(o_custkey / 15) AS BIGINT) AS zone,
+                   CAST(MONTH(o_orderdate) AS INT) AS mo,
+                   COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice), 6) AS avg_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "q9_lag_delta": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)) AS gap_us
+              FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   CAST(FLOOR(AVG(gap_us)) AS BIGINT) AS avg_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "q10_sliding_window": """
+            SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS mov_sum
+            FROM events
+        """,
+        "q11_topk_per_group": """
+            WITH r AS (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+              FROM part
+            )
+            SELECT p_brand, p_partkey, CAST(rk AS INT) AS rk,
+                   ROUND(p_retailprice, 2) AS price
+            FROM r WHERE rk <= 3
+        """,
+        "q12_argmax_order": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS top_price
+            FROM r WHERE rk = 1
+        """,
+        "q13_rle": """
+            WITH flagged AS (
+              SELECT user_id, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS new_run
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), runs AS (
+              SELECT *, SUM(new_run) OVER (PARTITION BY user_id ORDER BY event_id) AS run
+              FROM flagged
+            )
+            SELECT user_id, CAST(run - 1 AS INT) AS run_idx, event_type,
+                   COUNT(*) AS run_len
+            FROM runs GROUP BY user_id, run, event_type
+        """,
+        "q14_group_digest": """
+            SELECT source,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS digest,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "q15_set_difference": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "q16_dedup_distinct": """
+            SELECT event_type, COUNT(*) AS n_users
+            FROM (SELECT DISTINCT event_type, user_id FROM events)
+            GROUP BY event_type
+        """,
+        "d1_exact_dedup": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ), grp AS (
+              SELECT text, MIN(doc_id) AS canonical_id,
+                     COUNT(*) AS group_size, list_sort(list(doc_id)) AS ids
+              FROM docs GROUP BY text HAVING COUNT(*) > 1
+            )
+            SELECT canonical_id, u.dup_id, group_size
+            FROM grp, unnest(ids) AS u(dup_id)
+            WHERE u.dup_id <> canonical_id
+            ORDER BY u.dup_id
+        """,
+        "t1_text_metrics": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS chars,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS words_n,
+                   CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS tokens_n,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                              * 1.0 / length(text)
+                         ELSE 0.0 END, 6) AS punct_ratio
+            FROM documents
+        """,
+        "t2_source_token_stats": f"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)) AS tokens_total,
+                   SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS words_total,
+                   CAST(FLOOR(AVG(length(text))) AS BIGINT) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "e1_knn_bruteforce": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                CAST(q.qv AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 5
+        """,
+    }

@@ -1,0 +1,159 @@
+"""Benchmark harness (driver contract + CDC throughput).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "cdc": {...}}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] (default 32). The "cdc" block measures the
+engine's change-apply throughput on a synthesized stream
+($SPARK_GRAFT_EVENTS events, default 2,000,000).
+
+Flags: --cdc-only (skip relational queries; used by BENCH/scaling.py),
+--events N, --queries-only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_lww_window",
+    "q1_pricing_summary",
+    "q2_broadcast_dim_join",
+    "q3_multi_join_topk",
+    "q4_range_self_join",
+    "q9_lag_delta",
+    "q13_rle",
+    "d1_exact_dedup",
+    "d2_minhash_neardup",
+    "t2_source_token_stats",
+    "e1_knn_bruteforce",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("image_report_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        out[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {out[name]:.2f}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0) -> dict:
+    from image_report_spark.benchgen import write_bench_log
+    from image_report_spark.config import EngineConfig
+    from image_report_spark.engine import CdcEngine
+
+    scratch = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"irs-bench-{uuid.uuid4().hex[:8]}"
+    )
+    log_dir = os.path.join(scratch, "log")
+    try:
+        t0 = time.monotonic()
+        rows = write_bench_log(log_dir, n_events, n_batches=n_batches, seed=seed)
+        gen_s = time.monotonic() - t0
+        eng = CdcEngine.init(
+            spark,
+            os.path.join(scratch, "table"),
+            os.path.join(scratch, "checkpoint"),
+            config=EngineConfig(
+                num_buckets=max(cpus, 16), shuffle_partitions=max(cpus * 2, 8)
+            ),
+        )
+        t0 = time.monotonic()
+        reports = eng.run(log_dir)
+        apply_s = time.monotonic() - t0
+        assert all(r.conservation_ok() for r in reports), "ledger invariant broken"
+        return {
+            "events": rows,
+            "batches": n_batches,
+            "gen_sec": round(gen_s, 3),
+            "apply_sec": round(apply_s, 3),
+            "events_per_sec": round(rows / apply_s, 1),
+            "rows_final": reports[-1].rows_after,
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cdc-only", action="store_true")
+    ap.add_argument("--queries-only", action="store_true")
+    ap.add_argument("--events", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000")))
+    ap.add_argument("--batches", type=int, default=8)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = None
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    q_times: dict[str, float] = {}
+    cdc: dict = {}
+    if not args.cdc_only:
+        q_times = bench_queries(spark, sf_dir)
+    if not args.queries_only:
+        cdc = bench_cdc(spark, args.events, cpus, n_batches=args.batches)
+        q_times["cdc_apply"] = cdc["apply_sec"]
+
+    total = round(sum(q_times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + CDC change-apply (events/sec in cdc.events_per_sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "cdc": cdc,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

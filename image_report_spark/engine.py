@@ -168,16 +168,20 @@ class CdcEngine:
         num_buckets = self.table.num_buckets(snap)
         checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
 
-        rpt.events_read = changes_raw.count()
-
-        # 1. quarantine split (graft of per-item error isolation, ir:208-216)
+        # 1. quarantine split (graft of per-item error isolation, ir:208-216);
+        # one fused aggregate for total + malformed counts (single scan)
         malformed = (
             F.col("lsn").isNull()
             | F.col("op").isNull()
             | ~F.col("op").isin("I", "U", "D")
         )
+        counts = changes_raw.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(malformed, 1).otherwise(0)).alias("bad"),
+        ).first()
+        rpt.events_read = int(counts["total"])
         bad = changes_raw.filter(malformed)
-        rpt.quarantined = bad.count()
+        rpt.quarantined = int(counts["bad"] or 0)
         if rpt.quarantined:
             if cfg.on_error == "fail":
                 raise BatchAborted(
@@ -249,10 +253,15 @@ class CdcEngine:
             else:
                 winners = resolve_lww_window(events)
 
-            # 5. COW merge into touched partitions only
+            # 5. COW merge into touched partitions only. Touched set comes
+            # from the (persisted) pre-resolve events — same key set as the
+            # winners, and computing it there skips one window execution.
             winners = winners.withColumn(PART_COL, partition_expr(num_buckets))
             touched = sorted(
-                r[0] for r in winners.select(PART_COL).distinct().collect()
+                r[0]
+                for r in events.select(partition_expr(num_buckets).alias(PART_COL))
+                .distinct()
+                .collect()
             )
             rpt.partitions_touched = len(touched)
 

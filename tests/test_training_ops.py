@@ -1,0 +1,214 @@
+"""Tests for training-data-pipeline operators: RLE round-trip (graft of
+tests/test_rle.py:19-30), text metrics, dedup family, similarity search,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from image_report_spark.functions.rle import rle_decode, rle_encode
+from image_report_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+    word_count,
+)
+from image_report_spark.operators.dedupe import (
+    exact_duplicates,
+    dedup_exact,
+    jaccard,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    shingles,
+    simhash_duplicates,
+)
+from image_report_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from image_report_spark.operators.similarity import (
+    ivf_assign,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+
+
+# ------------------------------------------------------------------- RLE
+def test_rle_roundtrip_random(spark):
+    rng = np.random.default_rng(0)
+    rows = [
+        (int(k), int(i), str(v))
+        for k in range(5)
+        for i, v in enumerate(rng.integers(0, 3, size=40))
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, v string")
+    enc = rle_encode(df, "k", "pos", "v")
+    dec = rle_decode(enc, "k", "v")
+    # round-trip: decode(encode(x)) == x (positions re-densified)
+    orig = df.orderBy("k", "pos").collect()
+    back = dec.orderBy("k", "pos").collect()
+    assert [(r.k, r.v) for r in orig] == [(r.k, r.v) for r in back]
+    # compression property (graft of tests/test_rle.py:32-37)
+    assert enc.count() <= df.count()
+
+
+def test_rle_golden(spark):
+    df = spark.createDataFrame(
+        [(0, 0, "a"), (0, 1, "a"), (0, 2, "b"), (0, 3, "a"), (0, 4, "a")],
+        "k int, pos int, v string",
+    )
+    runs = rle_encode(df, "k", "pos", "v").orderBy("run_idx").collect()
+    assert [(r.run_idx, r.v, r.run_len) for r in runs] == [
+        (0, "a", 2), (1, "b", 1), (2, "a", 2),
+    ]
+
+
+# ------------------------------------------------------------------ text
+def test_text_metrics_golden(spark):
+    df = spark.createDataFrame([("Hello, world! 42",)], "t string")
+    row = df.select(
+        word_count(F.col("t")).alias("w"),
+        token_count(F.col("t")).alias("tok"),
+    ).first()
+    assert row["w"] == 3
+    # tokens: Hello , world ! 42 → 5
+    assert row["tok"] == 5
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in a house that",),
+         ("der hund und die katze ist nicht ein zu",),
+         ("xyzzy qwerty",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(lang_guess(F.col("t"))).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_and_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("some reasonable english text here",)] * 2, "t string")
+    q = df.select(quality_score(F.col("t")).alias("q"), fingerprint(F.col("t")).alias("f")).collect()
+    assert q[0]["q"] == q[1]["q"] and 0 <= q[0]["q"] <= 1
+    assert q[0]["f"] == q[1]["f"] and q[0]["f"] >= 0
+
+
+# ----------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog again and again"),  # near dup of 0
+        (3, "completely different content about spark window functions here"),
+        (4, "another unrelated document mentioning checkpoint manifests only"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    pairs = exact_duplicates(docs).collect()
+    assert [(r.canonical_id, r.dup_id) for r in pairs] == [(0, 1)]
+    kept = dedup_exact(docs)
+    assert kept.count() == 4 and kept.filter("doc_id = 1").count() == 0
+
+
+def test_shingle_jaccard(spark, docs):
+    two = docs.filter("doc_id in (0, 2)").select("doc_id", shingles(F.col("text")).alias("s"))
+    a = two.filter("doc_id = 0").first()["s"]
+    b = two.filter("doc_id = 2").first()["s"]
+    inter = len(set(a) & set(b))
+    union = len(set(a) | set(b))
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    assert abs(got - inter / union) < 1e-9
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    # bands=16 (r=2) → LSH S-curve knee ≈ 0.25, reliably catches j≈0.54
+    pairs = minhash_dedup(docs, threshold=0.5, k=32, bands=16).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup found
+    assert all({a, b} & {3, 4} == set() for a, b in found)  # no false positives
+
+
+def test_minhash_candidates_no_all_pairs(spark, docs):
+    cands = minhash_lsh_candidates(docs)
+    assert cands.count() < 10  # never the full 5*4/2 cross product… times bands
+
+
+def test_simhash_groups(spark, docs):
+    groups = simhash_duplicates(docs).collect()
+    assert len(groups) == 1 and sorted(groups[0]["ids"]) == [0, 1]
+
+
+# ------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-neighbor
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_knn_bruteforce_exact(spark, embeddings):
+    df, vecs = embeddings
+    q = [float(x) for x in vecs[0]]
+    top = knn_bruteforce(df.filter("vec_id != 0"), q, k=3).collect()
+    # numpy oracle
+    v = vecs.astype(np.float64)
+    sims = (v @ np.asarray(q)) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    sims[0] = -np.inf
+    expect = list(np.argsort(-sims)[:3])
+    assert [r.vec_id for r in top] == [int(i) for i in expect]
+    assert top[0].vec_id == 7  # the planted near-neighbor wins
+
+
+def test_knn_lsh_subset_of_bucket(spark, embeddings):
+    df, vecs = embeddings
+    q = [float(x) for x in vecs[0]]
+    res = knn_lsh(df.filter("vec_id != 0"), q, k=3, n_planes=4)
+    got = [r.vec_id for r in res.collect()]
+    assert 7 in got  # near-identical vector shares every sign bucket
+
+
+def test_ivf_cells_and_probe(spark, embeddings):
+    df, vecs = embeddings
+    assigned = ivf_assign(df, n_cells=8, dim=16)
+    cells = assigned.select("_cell").distinct().count()
+    assert 1 < cells <= 8
+    q = [float(x) for x in vecs[0]]
+    got = [r.vec_id for r in knn_ivf(df.filter("vec_id != 0"), q, k=3, n_cells=8).collect()]
+    assert 7 in got  # near-duplicate lands in the same cell
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_feature_extraction(spark):
+    media = synth_media(spark, n=12, seed=7)
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    ok = [r for r in feats if r.status == "ok"]
+    failed = [r for r in feats if r.status == "failed:decoder_unavailable"]
+    assert {r.kind for r in ok} == {"image", "audio"}
+    assert {r.kind for r in failed} == {"video"}  # stubbed codec isolated per item
+    assert all(r.content_hash is not None for r in ok)
+    # deterministic across runs
+    again = extract_features(synth_media(spark, n=12, seed=7)).collect()
+    assert sorted((r.media_id, r.content_hash) for r in feats) == sorted(
+        (r.media_id, r.content_hash) for r in again
+    )
+
+
+def test_frame_sampling(spark):
+    media = synth_media(spark, n=9, seed=7)
+    frames = sample_frames(media, every_n=10)
+    rows = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in rows)  # 30 frames → 0,10,20
