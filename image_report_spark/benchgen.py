@@ -118,5 +118,8 @@ def write_bench_log(
         pq.write_table(
             pa.Table.from_pandas(part, schema=types, preserve_index=False),
             os.path.join(out_dir, f"batch-{b:05d}.parquet"),
+            # small row groups keep a single batch file splittable across
+            # tasks (Spark assigns row groups to byte-range splits)
+            row_group_size=32768,
         )
     return len(df)

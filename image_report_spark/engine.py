@@ -5,16 +5,22 @@ Per micro-batch (SURVEY.md §3.4 lifecycle):
 1. quarantine malformed events (per-item error isolation — graft of
    reference ir:208-216: record the failure, never abort the record set);
 2. reconcile the batch schema with the table schema (additive evolution);
-3. drop exact replays: duplicate LSNs within the batch, then the bounded
-   cross-batch dedup window (boundary filter + recent-LSN anti-join);
-4. resolve last-writer-wins per key (window fast path, or the
-   ``applyInPandas`` per-conversation ordered path with hot-key salting);
-5. copy-on-write MERGE into only the touched partitions (union + one
-   ranking window; untouched partitions carry forward metadata-only);
-6. compute the conservation ledger + per-partition lineage (counts,
-   last-applied LSN, order-independent checksum);
-7. write data files, commit the table snapshot (atomic pointer swap), then
-   the checkpoint marker — crash at any boundary resumes cleanly because
+3. cross-batch exactly-once: boundary filter + bounded recent-LSN
+   anti-join (the dedup window);
+4. FUSED resolve + copy-on-write MERGE: union the batch with the touched
+   partitions' incumbent rows, ONE shuffle on ``(bucket, salt)``, then a
+   single window sort serves (a) within-batch exact-replay detection via
+   ``lag`` (replicas sort adjacently), (b) the last-writer-wins
+   ``row_number`` ranking on ``(ts, lsn, src)``, and (c) the per-key
+   incumbent-liveness aggregate. Untouched partitions carry forward in the
+   manifest metadata-only. Hot buckets are salted; the optional
+   ``applyInPandas`` per-conversation ordered pre-resolve (grouped mode,
+   BASELINE.json:6) plugs in before the union;
+5. conservation ledger + per-partition lineage (counts, last-applied LSN,
+   order-independent checksum) from the same cached ranking;
+6. write data files (inheriting the shuffle's partitioning — no second
+   exchange), commit the table snapshot (atomic pointer swap), then the
+   checkpoint marker — crash at any boundary resumes cleanly because
    markers are written last and the merge is idempotent.
 
 Everything is DataFrame ops + window functions + Arrow-vectorized pandas
@@ -27,7 +33,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -40,11 +46,7 @@ from pyspark.sql.types import (
 from image_report_spark.config import EngineConfig
 from image_report_spark.functions.digests import canonical_cols, SEP, table_digest
 from image_report_spark.operators.evolution import reconcile_schema
-from image_report_spark.operators.resolve import (
-    dedup_exact_replays,
-    resolve_lww_grouped,
-    resolve_lww_window,
-)
+from image_report_spark.operators.resolve import resolve_lww_grouped
 from image_report_spark.operators.skew import detect_hot_keys, salt_hot_keys
 from image_report_spark.plans.checkpoint import Checkpoint
 from image_report_spark.plans.icelite import IceliteTable, partition_expr, PART_COL
@@ -160,6 +162,15 @@ class CdcEngine:
 
     # ------------------------------------------------------------ the merge
     def apply_batch(self, changes_raw: DataFrame, batch_id: int) -> BatchReport:
+        # the raw batch is scanned by several stages (counts, quarantine,
+        # bucket stats, the merge union) — cache it once for the whole apply
+        changes_raw = changes_raw.persist()
+        try:
+            return self._apply_batch(changes_raw, batch_id)
+        finally:
+            changes_raw.unpersist()
+
+    def _apply_batch(self, changes_raw: DataFrame, batch_id: int) -> BatchReport:
         t0 = time.monotonic()
         cfg = self.config
         rpt = BatchReport(batch_id=batch_id)
@@ -168,20 +179,26 @@ class CdcEngine:
         num_buckets = self.table.num_buckets(snap)
         checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
 
-        # 1. quarantine split (graft of per-item error isolation, ir:208-216);
-        # one fused aggregate for total + malformed counts (single scan)
+        # 1. ONE pre-pass over the raw batch: total + malformed counts AND
+        # per-bucket sizes (touched-partition pruning + hot-bucket detection)
+        # fused into a single map-side-combined aggregate (quarantine split
+        # grafts per-item error isolation, ir:208-216)
         malformed = (
             F.col("lsn").isNull()
             | F.col("op").isNull()
             | ~F.col("op").isin("I", "U", "D")
         )
-        counts = changes_raw.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum(F.when(malformed, 1).otherwise(0)).alias("bad"),
-        ).first()
-        rpt.events_read = int(counts["total"])
+        bucket_rows = (
+            changes_raw.groupBy(partition_expr(num_buckets).alias(PART_COL))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(malformed, 1).otherwise(0)).alias("bad"),
+            )
+            .collect()
+        )
+        rpt.events_read = sum(int(r["n"]) for r in bucket_rows)
         bad = changes_raw.filter(malformed)
-        rpt.quarantined = int(counts["bad"] or 0)
+        rpt.quarantined = sum(int(r["bad"] or 0) for r in bucket_rows)
         if rpt.quarantined:
             if cfg.on_error == "fail":
                 raise BatchAborted(
@@ -195,33 +212,42 @@ class CdcEngine:
         aligned, evolved = reconcile_schema(good, logical)
         payload_cols = [f.name for f in evolved.fields]
 
-        # 3. exact-replay dedup: within batch, then the bounded cross-batch window
-        uniq = dedup_exact_replays(aligned)
+        # 3. cross-batch exactly-once filters: boundary + bounded recent-LSN
+        # anti-join (within-batch duplicate LSNs are folded into the merge
+        # windows below — no separate dropDuplicates shuffle)
+        events = aligned
         boundary = self.checkpoint.boundary_lsn(batch_id)
         if boundary >= 0:
-            uniq = uniq.filter(F.col("lsn") > boundary)
+            events = events.filter(F.col("lsn") > boundary)
         recent = self.checkpoint.recent_lsns_df(batch_id)
         if recent is not None:
-            uniq = uniq.join(recent, "lsn", "left_anti")
-        uniq = uniq.persist()
+            events = events.join(recent, "lsn", "left_anti")
+        # the default fused path consumes `events` exactly once (the union),
+        # so no cache; grouped / quarantine-missing modes scan it repeatedly
+        events_cached = cfg.grouped_resolve or cfg.update_missing == "quarantine"
+        if events_cached:
+            events = events.persist()
+        ranked = None
         try:
-            agg = uniq.agg(
-                F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx")
-            ).first()
-            valid_count, max_lsn = int(agg["n"]), agg["mx"]
-            rpt.deduped = rpt.events_read - rpt.quarantined - valid_count
-            if "op_histogram" in cfg.selected_metrics:
-                rpt.op_histogram = {
-                    r["op"]: r["n"]
-                    for r in uniq.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
-                }
-
             old_entries = {e["partition"]: e for e in snap["manifest"]}
             rpt.rows_before = sum(e["live_rows"] for e in old_entries.values())
 
-            if valid_count == 0:
+            # touched/hot partitions from the fused pre-pass (valid rows only;
+            # an all-replay bucket still rewrites identically — harmless)
+            touched = sorted(
+                int(r[PART_COL]) for r in bucket_rows if int(r["n"]) - int(r["bad"] or 0) > 0
+            )
+            hot_buckets = [
+                int(r[PART_COL])
+                for r in bucket_rows
+                if int(r["n"]) - int(r["bad"] or 0) > cfg.hot_key_threshold
+            ]
+            rpt.partitions_touched = len(touched)
+
+            if not touched:
                 # empty-batch short-circuit (graft of empty-input guards,
                 # analysis.py:31-33): still commit a marker so resume sees it
+                rpt.deduped = rpt.events_read - rpt.quarantined
                 rpt.rows_after = rpt.rows_before
                 sid = self.table.commit(
                     {}, evolved, batch_id, rpt.ledger(cfg.selected_metrics),
@@ -232,58 +258,85 @@ class CdcEngine:
                 rpt.wall_ms = int((time.monotonic() - t0) * 1000)
                 self.checkpoint.commit_batch(
                     batch_id, rpt.ledger(cfg.selected_metrics), sid,
-                    uniq.select("lsn"), max_lsn if max_lsn is not None else -1,
+                    events.select("lsn"), -1,
                 )
                 return rpt
 
-            events = uniq
+            pre_dropped_superseded = 0
+            pre_dropped_dups = 0
             if cfg.update_missing == "quarantine":
                 events, n_missing = self._quarantine_missing_updates(
                     events, num_buckets, batch_id
                 )
                 rpt.quarantined += n_missing
-                valid_count -= n_missing
 
-            # 4. within-batch LWW resolution
             if cfg.grouped_resolve:
+                # applyInPandas per-conversation ordered apply (BASELINE.json:6)
+                # — pre-resolves within the batch; the fused merge below then
+                # only reconciles one winner/key against the incumbent
+                pre = events.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(F.col("lsn")).alias("nd"),
+                ).first()
                 hot = detect_hot_keys(events, threshold=cfg.hot_key_threshold)
-                winners = resolve_lww_grouped(
+                resolved = resolve_lww_grouped(
                     salt_hot_keys(events, hot, n_salt=cfg.skew_salt)
                 ).drop("_salt")
-            else:
-                winners = resolve_lww_window(events)
+                pre_dropped_dups = int(pre["n"]) - int(pre["nd"])
+                pre_dropped_superseded = -pre_dropped_dups  # adjusted below
+                events = resolved
 
-            # 5. COW merge into touched partitions only. Touched set comes
-            # from the (persisted) pre-resolve events — same key set as the
-            # winners, and computing it there skips one window execution.
-            winners = winners.withColumn(PART_COL, partition_expr(num_buckets))
-            touched = sorted(
-                r[0]
-                for r in events.select(partition_expr(num_buckets).alias(PART_COL))
-                .distinct()
-                .collect()
+            # 4+5. FUSED resolve + COW merge: one wide shuffle on
+            # (bucket, salt); both dedup windows, the LWW ranking, the
+            # per-key liveness aggregate and the final write all run inside
+            # that partitioning (HashPartitioning on a subset of each
+            # window's clustering keys — Catalyst inserts sorts, never
+            # another exchange), so the data moves across the network once.
+            salt = (
+                F.when(
+                    F.col(PART_COL).isin(hot_buckets),
+                    F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(cfg.skew_salt)).cast("int"),
+                ).otherwise(F.lit(0))
+                if hot_buckets
+                else F.lit(0)
             )
-            rpt.partitions_touched = len(touched)
-
             incumbent = self._read_physical(touched, evolved).withColumn(
                 "_src", F.lit(0)
             )
-            evt = winners.select(
+            evt = events.withColumn(PART_COL, partition_expr(num_buckets)).select(
                 F.col(PART_COL),
                 *[F.col(c) for c in payload_cols],
                 F.col("lsn").alias("_lsn"),
                 F.col("op").alias("_op"),
             ).withColumn("_src", F.lit(1))
 
-            keyw = Window.partitionBy("conv_id", "turn_idx")
+            u = (
+                incumbent.unionByName(evt)
+                .withColumn("_salt", salt)
+                .repartition(cfg.shuffle_partitions, F.col(PART_COL), F.col("_salt"))
+            )
+            # ONE window sort serves everything: within a key, rows sharing
+            # an LSN (exact replays — byte-identical; an idempotent re-apply
+            # pairs the event with its incumbent) sort adjacently, so replay
+            # detection is a lag() in the SAME (partition, order) spec as the
+            # LWW row_number — a single WindowExec, a single sort. The
+            # per-key liveness max() needs only the clustering prefix, so it
+            # rides the same sort too. (Graft of the NMS duplicate
+            # suppression, utils.py:270-319.)
+            keyw = Window.partitionBy(PART_COL, "_salt", "conv_id", "turn_idx")
             order = keyw.orderBy(
                 F.col("ts").desc_nulls_last(),
                 F.col("_lsn").desc_nulls_last(),
                 F.col("_src").asc(),  # exact tie → incumbent wins (idempotence)
             )
-            merged = (
-                incumbent.unionByName(evt)
-                .withColumn("_rn", F.row_number().over(order))
+            ranked = (
+                u.withColumn("_rn", F.row_number().over(order))
+                .withColumn(
+                    "_replay",
+                    F.when(
+                        F.lag("_lsn").over(order).eqNullSafe(F.col("_lsn")), 1
+                    ).otherwise(0),
+                )
                 .withColumn(
                     "_inc_live",
                     F.max(
@@ -292,36 +345,33 @@ class CdcEngine:
                         ).otherwise(0)
                     ).over(keyw),
                 )
-                .filter(F.col("_rn") == 1)
                 .persist()
             )
-
-            ev_won = F.col("_src") == 1
+            ev_row = F.col("_src") == 1
+            won = ev_row & (F.col("_rn") == 1)
             upsert = F.col("_op").isin("I", "U")
-            stats = merged.agg(
-                F.sum(F.when(ev_won, 1).otherwise(0)).alias("applied"),
-                F.sum(F.when(ev_won & upsert & (F.col("_inc_live") == 0), 1).otherwise(0)).alias("ins"),
-                F.sum(F.when(ev_won & upsert & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("upd"),
-                F.sum(F.when(ev_won & (F.col("_op") == "D") & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("del"),
-                F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_after"),
-            ).first()
-            rpt.applied = int(stats["applied"] or 0)
-            rpt.inserts = int(stats["ins"] or 0)
-            rpt.updates = int(stats["upd"] or 0)
-            rpt.deletes = int(stats["del"] or 0)
-            rpt.superseded = valid_count - rpt.applied
-            touched_old_live = sum(
-                old_entries[p]["live_rows"] for p in touched if p in old_entries
+            # ledger stats piggyback on the partition-stats job via observe()
+            # — no separate aggregation pass over the ranked cache
+            obs = Observation(f"batch-{batch_id}")
+            ranked_obs = ranked.observe(
+                obs,
+                F.sum(F.when(won, 1).otherwise(0)).alias("applied"),
+                F.sum(F.when(ev_row & (F.col("_replay") == 1), 1).otherwise(0)).alias("dups"),
+                F.sum(F.when(ev_row & (F.col("_replay") == 0) & (F.col("_rn") > 1), 1).otherwise(0)).alias("superseded"),
+                F.sum(F.when(won & upsert & (F.col("_inc_live") == 0), 1).otherwise(0)).alias("ins"),
+                F.sum(F.when(won & upsert & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("upd"),
+                F.sum(F.when(won & (F.col("_op") == "D") & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("del"),
+                F.sum(F.when((F.col("_rn") == 1) & (F.col("_op") != "D"), 1).otherwise(0)).alias("live_after"),
+                F.max(F.when(ev_row, F.col("_lsn"))).alias("mx"),
             )
-            rpt.rows_after = (
-                rpt.rows_before - touched_old_live + int(stats["live_after"] or 0)
-            )
+            merged = ranked_obs.filter(F.col("_rn") == 1)
 
-            # 6. per-partition lineage: counts + last LSN + order-independent digest
+            # 6. per-partition lineage: counts + last LSN + order-independent
+            # digest (this action also fills the observation above)
             live_hash = F.when(
                 F.col("_op") != "D",
                 F.xxhash64(F.concat_ws(SEP, *canonical_cols(merged, checksum_cols))),
-            )  # NULL for tombstones → bit_xor skips them
+            )  # NULL for tombstones -> bit_xor skips them
             part_rows = (
                 merged.withColumn("h", live_hash)
                 .groupBy(PART_COL)
@@ -333,10 +383,54 @@ class CdcEngine:
                 )
                 .collect()
             )
+            stats = obs.get
+            rpt.applied = int(stats["applied"] or 0)
+            rpt.inserts = int(stats["ins"] or 0)
+            rpt.updates = int(stats["upd"] or 0)
+            rpt.deletes = int(stats["del"] or 0)
+            max_lsn = stats["mx"]
+            n_into_union = (
+                rpt.applied + int(stats["superseded"] or 0) + int(stats["dups"] or 0)
+            )
+            if cfg.grouped_resolve:
+                # grouped pre-resolve dropped (n_pre − n_resolved) events:
+                # duplicates-by-lsn first, the rest lost LWW in-batch
+                n_pre = int(pre["n"])
+                pre_dropped = n_pre - n_into_union
+                pre_dropped_superseded = pre_dropped - pre_dropped_dups
+                rpt.superseded = (
+                    int(stats["superseded"] or 0) + pre_dropped_superseded
+                )
+                rpt.deduped = (
+                    rpt.events_read - rpt.quarantined - n_pre
+                    + pre_dropped_dups + int(stats["dups"] or 0)
+                )
+            else:
+                rpt.superseded = int(stats["superseded"] or 0)
+                rpt.deduped = (
+                    rpt.events_read - rpt.quarantined - n_into_union
+                    + int(stats["dups"] or 0)
+                )
+            touched_old_live = sum(
+                old_entries[p]["live_rows"] for p in touched if p in old_entries
+            )
+            rpt.rows_after = (
+                rpt.rows_before - touched_old_live + int(stats["live_after"] or 0)
+            )
+            if "op_histogram" in cfg.selected_metrics:
+                rpt.op_histogram = {
+                    r["_op"]: r["n"]
+                    for r in ranked.filter(ev_row & (F.col("_replay") == 0))
+                    .groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
 
-            # 7. write files + commit snapshot + checkpoint marker (in order)
+            # 7. write files + commit snapshot + checkpoint marker (in order).
+            # merged is already hash-partitioned on (_p, _salt) and sorted by
+            # the window — no further repartition before the write
             phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
-            files = self.table.write_partition_files(merged.select(*phys_cols), batch_id)
+            files = self.table.write_partition_files(
+                merged.select(*phys_cols), batch_id, pre_partitioned=True
+            )
 
             replaced = {}
             for r in part_rows:
@@ -365,12 +459,16 @@ class CdcEngine:
             sid = self.table.commit(replaced, evolved, batch_id, ledger, digest)
             rpt.snapshot_id = sid
             self.checkpoint.commit_batch(
-                batch_id, ledger, sid, uniq.select("lsn"),
+                batch_id, ledger, sid,
+                ranked.filter((F.col("_src") == 1) & (F.col("_replay") == 0))
+                .select(F.col("_lsn").alias("lsn")),
                 max_lsn if max_lsn is not None else -1,
             )
-            merged.unpersist()
         finally:
-            uniq.unpersist()
+            if ranked is not None:
+                ranked.unpersist()
+            if events_cached:
+                events.unpersist()
         return rpt
 
     # ------------------------------------------------------------------ run

@@ -84,8 +84,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Verify candidate (id_a, id_b) pairs by exact n-gram Jaccard."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    """Verify candidate (id_a, id_b) pairs by exact n-gram Jaccard (over
+    hashed shingles — identical value modulo 64-bit collisions)."""
+    sh = with_shingle_hashes(df.select(id_col, text_col), text_col, n=n)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     return (
@@ -105,25 +106,61 @@ def _hash_params(k: int, seed: int = 13) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(col: Column, k: int = 32, seed: int = 13) -> Column:
-    """k-permutation MinHash over shingles — k array_min expressions, all
-    codegen'd; no explode, no shuffle."""
-    sh = shingles(col)
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", out: str = "_sh", n: int = 3
+) -> DataFrame:
+    """Add ``out`` = distinct word-n-gram shingle hashes (mod p).
+
+    Two deliberate ``withColumn`` steps: the word array is materialized as
+    an *attribute* before the shingle lambda slices it — a lambda body
+    re-evaluates any non-attribute subexpression per element, which turns
+    shingling O(words²) if the split stays inline (HOFs are interpreted,
+    no codegen CSE). Measured 7.3s → sub-second on 1k docs."""
+    ws = "_irs_ws"
+    w = F.col(ws)
+    hash_of = lambda c: F.pmod(F.xxhash64(c), F.lit(MINHASH_PRIME))  # noqa: E731
+    return (
+        df.withColumn(ws, words(F.col(text_col)))
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - n),
+                        lambda i: hash_of(F.concat_ws(" ", F.slice(w, i + 1, n))),
+                    ),
+                ).otherwise(F.array(hash_of(F.concat_ws(" ", w))))
+            ),
+        )
+        .drop(ws)
+    )
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Inline variant (slower — prefer :func:`with_shingle_hashes`)."""
+    return F.transform(shingles(col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+
+
+def minhash_from_hashes(hashes: Column, k: int = 32, seed: int = 13) -> Column:
+    """k-permutation MinHash over a pre-hashed shingle array."""
     mins = []
     for a, b in _hash_params(k, seed):
-        # (a*h + b) mod p over unsigned-ified xxhash64
         mins.append(
             F.array_min(
                 F.transform(
-                    sh,
-                    lambda s: F.pmod(
-                        F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
-                        F.lit(MINHASH_PRIME),
-                    ),
+                    hashes,
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)),
                 )
             )
         )
     return F.array(*mins)
+
+
+def minhash_signature(col: Column, k: int = 32, seed: int = 13) -> Column:
+    """k-permutation MinHash over shingles (prefer building on
+    :func:`shingle_hashes` via a withColumn so the shingle pass runs once)."""
+    return minhash_from_hashes(shingle_hashes(col), k, seed)
 
 
 def minhash_lsh_candidates(
@@ -140,7 +177,10 @@ def minhash_lsh_candidates(
     then groupBy (band, band_hash). Bucket sizes are uniform unless true
     near-dups exist, so no skew mitigation needed beyond AQE."""
     r = k // bands
-    sig = df.select(F.col(id_col), minhash_signature(F.col(text_col), k, seed).alias("_sig"))
+    sig = (
+        with_shingle_hashes(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col), minhash_from_hashes(F.col("_sh"), k, seed).alias("_sig"))
+    )
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(

@@ -170,21 +170,28 @@ class IceliteTable:
         return df
 
     # ------------------------------------------------------------ write path
-    def write_partition_files(self, df_physical: DataFrame, batch_id: int) -> dict[int, list[str]]:
+    def write_partition_files(
+        self, df_physical: DataFrame, batch_id: int, pre_partitioned: bool = False
+    ) -> dict[int, list[str]]:
         """Write physical rows as one-or-more Parquet files per partition.
 
         ``df_physical`` must carry the full physical schema. Rows are
-        re-shuffled onto their bucket and sorted within partitions by
+        clustered onto their bucket and sorted within partitions by
         ``(conv_id, turn_idx)`` so files are byte-deterministic for a given
         input (graft of the reference's deterministic reading-order output,
-        docs/report-schema-v2.md:94-96). Returns partition → relative file
-        paths (empty partitions yield no files).
+        docs/report-schema-v2.md:94-96). With ``pre_partitioned`` the input
+        is already hash-clustered on the bucket column (the engine's fused
+        merge guarantees this) and no extra exchange is inserted; the
+        within-partition sort is elided by RemoveRedundantSorts when the
+        window output order already satisfies it. Returns partition →
+        relative file paths (empty partitions yield no files).
         """
         staging = os.path.join(self.root, "tmp", f"b{batch_id}-{uuid.uuid4().hex[:8]}")
+        out_df = df_physical.withColumn("p", F.col(PART_COL))
+        if not pre_partitioned:
+            out_df = out_df.repartition(F.col(PART_COL))
         (
-            df_physical.withColumn("p", F.col(PART_COL))
-            .repartition(F.col(PART_COL))
-            .sortWithinPartitions(PART_COL, "conv_id", "turn_idx")
+            out_df.sortWithinPartitions(PART_COL, "conv_id", "turn_idx")
             .write.partitionBy("p")
             .mode("overwrite")
             .parquet(staging)
