@@ -53,6 +53,10 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # single-file micro-batches must split across cores (row-group reads)
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # shuffle/spill on tmpfs: local-mode threads share ONE VM disk, which
+        # saturates at low parallelism and would measure the disk, not the
+        # engine (a real cluster adds disks with every executor)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/irs-spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -87,18 +91,26 @@ def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0
         t0 = time.monotonic()
         rows = write_bench_log(log_dir, n_events, n_batches=n_batches, seed=seed)
         gen_s = time.monotonic() - t0
+        # num_buckets is FIXED across parallelism levels so local[8] and
+        # local[32] run the identical job (the scaling protocol's premise);
+        # 128 buckets also keeps the merge stage's available parallelism
+        # well above either core count
+        buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "128"))
         eng = CdcEngine.init(
             spark,
             os.path.join(scratch, "table"),
             os.path.join(scratch, "checkpoint"),
             config=EngineConfig(
-                num_buckets=max(cpus, 16), shuffle_partitions=max(cpus * 2, 8)
+                num_buckets=buckets, shuffle_partitions=max(cpus * 2, 8)
             ),
         )
         t0 = time.monotonic()
         reports = eng.run(log_dir)
         apply_s = time.monotonic() - t0
         assert all(r.conservation_ok() for r in reports), "ledger invariant broken"
+        for r in reports:
+            print(f"# batch {r.batch_id}: {r.wall_ms}ms rows_after={r.rows_after}",
+                  file=sys.stderr)
         return {
             "events": rows,
             "batches": n_batches,

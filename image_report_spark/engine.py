@@ -227,7 +227,6 @@ class CdcEngine:
         events_cached = cfg.grouped_resolve or cfg.update_missing == "quarantine"
         if events_cached:
             events = events.persist()
-        ranked = None
         try:
             old_entries = {e["partition"]: e for e in snap["manifest"]}
             rpt.rows_before = sum(e["live_rows"] for e in old_entries.values())
@@ -313,7 +312,10 @@ class CdcEngine:
             u = (
                 incumbent.unionByName(evt)
                 .withColumn("_salt", salt)
-                .repartition(cfg.shuffle_partitions, F.col(PART_COL), F.col("_salt"))
+                # no explicit partition count: AQE sizes/coalesces the
+                # exchange; parallelism comes from #buckets × salt, so
+                # num_buckets (not shuffle.partitions) is the scale knob
+                .repartition(F.col(PART_COL), F.col("_salt"))
             )
             # ONE window sort serves everything: within a key, rows sharing
             # an LSN (exact replays — byte-identical; an idempotent re-apply
@@ -345,13 +347,16 @@ class CdcEngine:
                         ).otherwise(0)
                     ).over(keyw),
                 )
-                .persist()
             )
+            # deliberately NOT cached: caching wide string rows is a GC bomb
+            # (measured: 120 s GC in one 64-task stage); instead the pipeline
+            # runs exactly once — inside the file write — with ledger stats
+            # collected by observe() on that same job, and partition stats
+            # computed afterwards from the freshly WRITTEN columnar files
+            # (which doubles as an end-to-end on-disk integrity check)
             ev_row = F.col("_src") == 1
             won = ev_row & (F.col("_rn") == 1)
             upsert = F.col("_op").isin("I", "U")
-            # ledger stats piggyback on the partition-stats job via observe()
-            # — no separate aggregation pass over the ranked cache
             obs = Observation(f"batch-{batch_id}")
             ranked_obs = ranked.observe(
                 obs,
@@ -366,14 +371,30 @@ class CdcEngine:
             )
             merged = ranked_obs.filter(F.col("_rn") == 1)
 
-            # 6. per-partition lineage: counts + last LSN + order-independent
-            # digest (this action also fills the observation above)
+            # 6. write files FIRST (the one and only pipeline execution;
+            # unreferenced until the snapshot commit below)
+            phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
+            files = self.table.write_partition_files(
+                merged.select(*phys_cols), batch_id, pre_partitioned=True
+            )
+            stats = obs.get
+
+            # per-partition lineage from the written files: counts +
+            # last LSN + order-independent digest over the on-disk bytes
+            from image_report_spark.plans.icelite import physical_schema
+
+            written_paths = [
+                os.path.join(self.table.root, f)
+                for fl in files.values()
+                for f in fl
+            ]
+            wdf = self.spark.read.schema(physical_schema(evolved)).parquet(*written_paths)
             live_hash = F.when(
                 F.col("_op") != "D",
-                F.xxhash64(F.concat_ws(SEP, *canonical_cols(merged, checksum_cols))),
+                F.xxhash64(F.concat_ws(SEP, *canonical_cols(wdf, checksum_cols))),
             )  # NULL for tombstones -> bit_xor skips them
             part_rows = (
-                merged.withColumn("h", live_hash)
+                wdf.withColumn("h", live_hash)
                 .groupBy(PART_COL)
                 .agg(
                     F.count(F.lit(1)).alias("row_count"),
@@ -383,7 +404,6 @@ class CdcEngine:
                 )
                 .collect()
             )
-            stats = obs.get
             rpt.applied = int(stats["applied"] or 0)
             rpt.inserts = int(stats["ins"] or 0)
             rpt.updates = int(stats["upd"] or 0)
@@ -424,14 +444,7 @@ class CdcEngine:
                     .groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
                 }
 
-            # 7. write files + commit snapshot + checkpoint marker (in order).
-            # merged is already hash-partitioned on (_p, _salt) and sorted by
-            # the window — no further repartition before the write
-            phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
-            files = self.table.write_partition_files(
-                merged.select(*phys_cols), batch_id, pre_partitioned=True
-            )
-
+            # 7. commit snapshot + checkpoint marker (in order)
             replaced = {}
             for r in part_rows:
                 p = int(r[PART_COL])
@@ -460,13 +473,10 @@ class CdcEngine:
             rpt.snapshot_id = sid
             self.checkpoint.commit_batch(
                 batch_id, ledger, sid,
-                ranked.filter((F.col("_src") == 1) & (F.col("_replay") == 0))
-                .select(F.col("_lsn").alias("lsn")),
+                events.select("lsn"),
                 max_lsn if max_lsn is not None else -1,
             )
         finally:
-            if ranked is not None:
-                ranked.unpersist()
             if events_cached:
                 events.unpersist()
         return rpt
