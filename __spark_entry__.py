@@ -352,6 +352,73 @@ def q16_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_cube_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 graft: quadrant distribution with all marginals via CUBE."""
+    li = _t(spark, sf_dir, "lineitem")
+    cube = li.cube(
+        (F.col("l_quantity") > 25).alias("q"),
+        (F.col("l_discount") > 0.05).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # margins labeled 'ALL' → no NULL group keys in the comparable output
+    return cube.select(
+        F.coalesce(F.col("q").cast("string"), F.lit("ALL")).alias("hi_qty"),
+        F.coalesce(F.col("d").cast("string"), F.lit("ALL")).alias("hi_disc"),
+        "n",
+    )
+
+
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 graft: parse the JSON props payload (string → typed field)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.pmod(F.col("k"), F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+#: the paper-size dimension table graft (reference papersize.py:37-65):
+#: a tiny static dimension matched by minimal L1 distance
+_STANDARD_SIZES = [("XS", 5), ("S", 15), ("M", 25), ("L", 35), ("XL", 45)]
+
+
+def q19_nearest_dim_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 graft: broadcast nested-loop theta-join against a literal
+    dimension table, rank by |p_size − dim|, keep the best match
+    (reference guess_paper_size, papersize.py:70-126)."""
+    part = _t(spark, sf_dir, "part")
+    dims = spark.createDataFrame(_STANDARD_SIZES, "size_name string, size_mm int")
+    scored = part.crossJoin(F.broadcast(dims)).withColumn(
+        "dist", F.abs(F.col("p_size") - F.col("size_mm"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("dist"), F.asc("size_name"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("size_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q20_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 graft: weighted sliding window (the convolution shape) —
+    0.25·prev + 0.5·cur + 0.25·next per user ordered by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wavg = (
+        0.25 * F.coalesce(F.lag("value").over(w), F.col("value"))
+        + 0.5 * F.col("value")
+        + 0.25 * F.coalesce(F.lead("value").over(w), F.col("value"))
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(wavg, 4).alias("smooth")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -524,6 +591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_group_digest": q14_group_digest,
         "q15_set_difference": q15_set_difference,
         "q16_dedup_distinct": q16_dedup_distinct,
+        "q17_cube_marginals": q17_cube_marginals,
+        "q18_json_extract": q18_json_extract,
+        "q19_nearest_dim_match": q19_nearest_dim_match,
+        "q20_weighted_moving_avg": q20_weighted_moving_avg,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_minhash_neardup": d2_minhash_neardup,
         "d3_simhash_groups": d3_simhash_groups,
@@ -683,6 +754,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_users
             FROM (SELECT DISTINCT event_type, user_id FROM events)
             GROUP BY event_type
+        """,
+        "q17_cube_marginals": """
+            SELECT COALESCE(CAST(q AS VARCHAR), 'ALL') AS hi_qty,
+                   COALESCE(CAST(d AS VARCHAR), 'ALL') AS hi_disc,
+                   n
+            FROM (
+              SELECT l_quantity > 25 AS q, l_discount > 0.05 AS d,
+                     COUNT(*) AS n
+              FROM lineitem GROUP BY CUBE (1, 2)
+            )
+        """,
+        "q18_json_extract": """
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM events GROUP BY 1
+        """,
+        "q19_nearest_dim_match": """
+            WITH dims(size_name, size_mm) AS (
+              VALUES ('XS', 5), ('S', 15), ('M', 25), ('L', 35), ('XL', 45)
+            ), scored AS (
+              SELECT p_partkey, size_name, ABS(p_size - size_mm) AS dist,
+                     row_number() OVER (PARTITION BY p_partkey
+                                        ORDER BY ABS(p_size - size_mm) ASC, size_name ASC) AS rk
+              FROM part CROSS JOIN dims
+            )
+            SELECT size_name, COUNT(*) AS n_parts FROM scored WHERE rk = 1
+            GROUP BY size_name
+        """,
+        "q20_weighted_moving_avg": """
+            SELECT user_id, event_id,
+                   ROUND(0.25 * COALESCE(lag(value) OVER w, value)
+                       + 0.5 * value
+                       + 0.25 * COALESCE(lead(value) OVER w, value), 4) AS smooth
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         """,
         "d1_exact_dedup": """
             WITH docs AS (

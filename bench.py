@@ -88,6 +88,19 @@ def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0
     )
     log_dir = os.path.join(scratch, "log")
     try:
+        # untimed JIT/codegen warm-up: a small throwaway apply so the first
+        # timed batch doesn't pay JVM compilation (identical for every
+        # parallelism level — removes run-order bias from the comparison)
+        warm_log = os.path.join(scratch, "warmup-log")
+        write_bench_log(warm_log, 50_000, n_batches=1, seed=seed + 999)
+        warm = CdcEngine.init(
+            spark,
+            os.path.join(scratch, "warmup-table"),
+            os.path.join(scratch, "warmup-checkpoint"),
+            config=EngineConfig(num_buckets=16),
+        )
+        warm.run(warm_log)
+
         t0 = time.monotonic()
         rows = write_bench_log(log_dir, n_events, n_batches=n_batches, seed=seed)
         gen_s = time.monotonic() - t0

@@ -309,13 +309,19 @@ class CdcEngine:
                 F.col("op").alias("_op"),
             ).withColumn("_src", F.lit(1))
 
+            # repartition on _salt only when it's a real column: a lit(0)
+            # salt constant-folds OUT of the window's required clustering
+            # but NOT out of hashpartitioning, which would defeat the
+            # subset-satisfaction rule and buy a second Exchange
+            # (asserted in tests/test_plans.py)
+            repart_cols = [F.col(PART_COL)] + ([F.col("_salt")] if hot_buckets else [])
             u = (
                 incumbent.unionByName(evt)
                 .withColumn("_salt", salt)
                 # no explicit partition count: AQE sizes/coalesces the
                 # exchange; parallelism comes from #buckets × salt, so
                 # num_buckets (not shuffle.partitions) is the scale knob
-                .repartition(F.col(PART_COL), F.col("_salt"))
+                .repartition(*repart_cols)
             )
             # ONE window sort serves everything: within a key, rows sharing
             # an LSN (exact replays — byte-identical; an idempotent re-apply
@@ -372,10 +378,13 @@ class CdcEngine:
             merged = ranked_obs.filter(F.col("_rn") == 1)
 
             # 6. write files FIRST (the one and only pipeline execution;
-            # unreferenced until the snapshot commit below)
+            # unreferenced until the snapshot commit below). `_salt` rides
+            # along so the window's output ordering satisfies the write sort
+            # (projecting it away would truncate the known ordering and
+            # force a second full sort)
             phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
             files = self.table.write_partition_files(
-                merged.select(*phys_cols), batch_id, pre_partitioned=True
+                merged.select(*(phys_cols + ["_salt"])), batch_id, pre_partitioned=True
             )
             stats = obs.get
 

@@ -190,8 +190,18 @@ class IceliteTable:
         out_df = df_physical.withColumn("p", F.col(PART_COL))
         if not pre_partitioned:
             out_df = out_df.repartition(F.col(PART_COL))
+        # if the caller kept `_salt`, the merge window's output ordering
+        # (_p, _salt, conv, turn, ...) already satisfies this sort as a
+        # prefix and the optimizer elides it (one less full sort per batch);
+        # the extra 4-byte column in the files is RLE'd to nothing and
+        # ignored by schema-projected reads
+        sort_cols = (
+            [PART_COL, "_salt", "conv_id", "turn_idx"]
+            if "_salt" in df_physical.columns
+            else [PART_COL, "conv_id", "turn_idx"]
+        )
         (
-            out_df.sortWithinPartitions(PART_COL, "conv_id", "turn_idx")
+            out_df.sortWithinPartitions(*sort_cols)
             .write.partitionBy("p")
             .mode("overwrite")
             .parquet(staging)

@@ -1,0 +1,85 @@
+"""CLI validation (graft of reference tests/test_parse_args.py:5-13 —
+rejection via SystemExit, derived defaults) and change-log listing
+(canonical-path dedup + ordering, graft of ir:549-557). No Spark needed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from image_report_spark.cli import parse_args
+from image_report_spark.sources.changelog import ChangeLogSource, CODECS, _BATCH_RE
+
+
+def test_apply_defaults():
+    a = parse_args(["apply", "--table", "t", "--log", "l", "--checkpoint", "c"])
+    assert a.metrics == "basic" and a.on_error == "quarantine"
+    assert a.update_missing == "upsert" and a.buckets == 32
+    assert a.dedup_window == 4 and not a.grouped_resolve
+
+
+def test_bad_buckets_rejected():
+    with pytest.raises(SystemExit):
+        parse_args(["init", "--table", "t", "--checkpoint", "c", "--buckets", "0"])
+
+
+def test_bad_metrics_rejected():
+    with pytest.raises(SystemExit):
+        parse_args(["apply", "--table", "t", "--log", "l", "--checkpoint", "c",
+                    "--metrics", "not_a_metric"])
+
+
+def test_bad_on_error_rejected():
+    with pytest.raises(SystemExit):
+        parse_args(["apply", "--table", "t", "--log", "l", "--checkpoint", "c",
+                    "--on-error", "explode"])
+
+
+def test_missing_subcommand_rejected():
+    with pytest.raises(SystemExit):
+        parse_args([])
+
+
+def test_gen_flags_roundtrip():
+    a = parse_args(["gen", "--out", "o", "--seed", "7", "--evolve",
+                    "--dup-frac", "0.1", "--hot-keys", "3"])
+    assert a.seed == 7 and a.evolve and a.dup_frac == 0.1 and a.hot_keys == 3
+
+
+# --------------------------------------------------------------- source
+class _FakeSpark:
+    pass
+
+
+def test_list_batches_orders_and_dedupes(tmp_path):
+    log = tmp_path / "log"
+    log.mkdir()
+    # out-of-order creation, mixed formats, a non-batch file, a symlink dup
+    (log / "batch-00002.parquet").write_bytes(b"x")
+    (log / "batch-00000.parquet").write_bytes(b"x")
+    (log / "batch-00001.jsonl").write_text("{}")
+    (log / "README.txt").write_text("ignore me")
+    os.symlink(log / "batch-00000.parquet", log / "batch-00009.parquet")
+
+    src = ChangeLogSource(_FakeSpark(), str(log))
+    got = src.list_batches()
+    ids = [b for b, _ in got]
+    assert ids == [0, 1, 2]  # symlink duplicate collapsed, README ignored
+
+
+def test_list_batches_empty_and_missing(tmp_path):
+    src = ChangeLogSource(_FakeSpark(), str(tmp_path / "nope"))
+    assert src.list_batches() == []
+
+
+def test_codec_registry():
+    assert set(CODECS) == {"parquet", "jsonl", "json"}
+    assert _BATCH_RE.search("batch-00042.parquet").group(1) == "00042"
+    assert _BATCH_RE.search("not-a-batch.parquet") is None
+
+
+def test_unsupported_format_raises(tmp_path):
+    src = ChangeLogSource(_FakeSpark(), str(tmp_path))
+    with pytest.raises(ValueError):
+        src.read_batch("batch-00000.csv")
