@@ -84,7 +84,8 @@ def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0
     from image_report_spark.engine import CdcEngine
 
     scratch = os.path.join(
-        os.environ.get("SPARK_GRAFT_TMP", "/tmp"), f"irs-bench-{uuid.uuid4().hex[:8]}"
+        os.environ.get("SPARK_GRAFT_TMP", "/dev/shm/irs-bench"),
+        f"irs-bench-{uuid.uuid4().hex[:8]}",
     )
     log_dir = os.path.join(scratch, "log")
     try:

@@ -69,6 +69,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--scratch", required=True)
 
+    sp = sub.add_parser("expire")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep-last", type=int, default=1)
+
+    sp = sub.add_parser("stream")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--log", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--stream-checkpoint", required=True)
+    sp.add_argument("--buckets", type=int, default=32)
+    sp.add_argument("--continuous", action="store_true",
+                    help="keep tailing (default: drain backlog and stop)")
+
     sp = sub.add_parser("gen")
     sp.add_argument("--out", required=True)
     sp.add_argument("--seed", type=int, default=0)
@@ -137,6 +150,27 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.ledger(cfg.selected_metrics) | {"skipped": r.skipped}))
         # exit 1 if any batch failed its invariant (graft of ir:614-615)
         return 0 if ok else 1
+
+    if args.cmd == "expire":
+        from image_report_spark.plans.icelite import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        deleted = t.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps({"deleted_files": deleted,
+                          "snapshots": t.snapshots()}))
+        return 0
+
+    if args.cmd == "stream":
+        from image_report_spark.streaming.tail import stream_apply
+
+        eng = CdcEngine.init(spark, args.table, args.checkpoint,
+                             config=EngineConfig(num_buckets=args.buckets))
+        q = stream_apply(eng, args.log, args.stream_checkpoint,
+                         available_now=not args.continuous)
+        q.awaitTermination()
+        print(json.dumps({"table": args.table,
+                          "batches_applied": eng.checkpoint.applied_batches()}))
+        return 0
 
     if args.cmd == "replay-verify":
         eng = CdcEngine(spark, args.table, args.checkpoint)
