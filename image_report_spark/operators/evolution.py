@@ -18,10 +18,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import DataType, StructField, StructType
 
 #: columns every change event must carry
 REQUIRED_EVENT_COLUMNS = ["lsn", "op", "conv_id", "turn_idx", "ts"]
+
+#: Iceberg-style safe type promotions (lossless widenings): a batch column
+#: of the narrower type is CAST up; a table column of the narrower type is
+#: widened in the evolved schema (old files read through the wider schema)
+SAFE_PROMOTIONS: dict[tuple[str, str], str] = {
+    ("int", "bigint"): "bigint",
+    ("smallint", "int"): "int",
+    ("smallint", "bigint"): "bigint",
+    ("tinyint", "smallint"): "smallint",
+    ("tinyint", "int"): "int",
+    ("tinyint", "bigint"): "bigint",
+    ("float", "double"): "double",
+}
+
+
+def _promote(a: DataType, b: DataType) -> str | None:
+    """The common wider type if (a, b) is a safe promotion pair, else None."""
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa == sb:
+        return sa
+    return SAFE_PROMOTIONS.get((sa, sb)) or SAFE_PROMOTIONS.get((sb, sa))
 
 
 class SchemaConflict(ValueError):
@@ -41,20 +62,36 @@ def reconcile_schema(
     batch_fields = {f.name: f for f in batch.schema.fields}
     target_fields = {f.name: f for f in target_schema.fields}
 
-    # type-conflict check over the intersection
+    # intersection: identical, safely-promotable (lossless widening —
+    # Iceberg type-promotion analog; Spark 4's parquet reader upcasts old
+    # files through the widened schema), or a hard conflict
+    promoted: dict[str, str] = {}
     for name, bf in batch_fields.items():
         tf = target_fields.get(name)
-        if tf is not None and bf.dataType != tf.dataType:
+        if tf is None or bf.dataType == tf.dataType:
+            continue
+        wider = _promote(bf.dataType, tf.dataType)
+        if wider is None:
             raise SchemaConflict(
                 f"column {name!r}: batch type {bf.dataType.simpleString()} "
                 f"!= table type {tf.dataType.simpleString()}"
             )
+        promoted[name] = wider
 
     missing = [name for name in REQUIRED_EVENT_COLUMNS if name not in batch_fields]
     if missing:
         raise SchemaConflict(f"batch missing required event columns: {missing}")
 
-    evolved = list(target_schema.fields)
+    from pyspark.sql.types import _parse_datatype_string
+
+    evolved = []
+    for f in target_schema.fields:
+        if f.name in promoted:
+            evolved.append(
+                StructField(f.name, _parse_datatype_string(promoted[f.name]), f.nullable)
+            )
+        else:
+            evolved.append(f)
     event_extras = {"lsn", "op"}
     for f in batch.schema.fields:
         if f.name not in target_fields and f.name not in event_extras:
@@ -62,6 +99,9 @@ def reconcile_schema(
     evolved_schema = StructType(evolved)
 
     aligned = batch
+    evolved_types = {f.name: f.dataType for f in evolved_schema.fields}
+    for name in promoted:
+        aligned = aligned.withColumn(name, F.col(name).cast(evolved_types[name]))
     for f in evolved_schema.fields:
         if f.name not in batch_fields:
             aligned = aligned.withColumn(f.name, F.lit(None).cast(f.dataType))
