@@ -30,6 +30,7 @@ Everything is DataFrame ops + window functions + Arrow-vectorized pandas
 from __future__ import annotations
 
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 
@@ -172,6 +173,14 @@ class CdcEngine:
 
     def _apply_batch(self, changes_raw: DataFrame, batch_id: int) -> BatchReport:
         t0 = time.monotonic()
+        _timing = os.environ.get("IRS_TIMING") == "1"
+        _last = [t0]
+
+        def _tick(phase: str) -> None:
+            if _timing:
+                now = time.monotonic()
+                print(f"# b{batch_id} {phase}: {now - _last[0]:.2f}s", file=sys.stderr)
+                _last[0] = now
         cfg = self.config
         rpt = BatchReport(batch_id=batch_id)
         snap = self.table.snapshot()
@@ -196,6 +205,7 @@ class CdcEngine:
             )
             .collect()
         )
+        _tick("prepass")
         rpt.events_read = sum(int(r["n"]) for r in bucket_rows)
         bad = changes_raw.filter(malformed)
         rpt.quarantined = sum(int(r["bad"] or 0) for r in bucket_rows)
@@ -383,10 +393,12 @@ class CdcEngine:
             # (projecting it away would truncate the known ordering and
             # force a second full sort)
             phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
+            _tick("plan")
             files = self.table.write_partition_files(
                 merged.select(*(phys_cols + ["_salt"])), batch_id, pre_partitioned=True
             )
             stats = obs.get
+            _tick("write+merge")
 
             # per-partition lineage from the written files: counts +
             # last LSN + order-independent digest over the on-disk bytes
@@ -413,6 +425,7 @@ class CdcEngine:
                 )
                 .collect()
             )
+            _tick("partstats")
             rpt.applied = int(stats["applied"] or 0)
             rpt.inserts = int(stats["ins"] or 0)
             rpt.updates = int(stats["upd"] or 0)
@@ -478,6 +491,7 @@ class CdcEngine:
             rpt.table_digest = digest
             rpt.wall_ms = int((time.monotonic() - t0) * 1000)
             ledger = rpt.ledger(cfg.selected_metrics)
+            _tick("ledger")
             sid = self.table.commit(replaced, evolved, batch_id, ledger, digest)
             rpt.snapshot_id = sid
             self.checkpoint.commit_batch(
@@ -485,6 +499,7 @@ class CdcEngine:
                 events.select("lsn"),
                 max_lsn if max_lsn is not None else -1,
             )
+            _tick("commit+seen")
         finally:
             if events_cached:
                 events.unpersist()
