@@ -820,8 +820,10 @@ def oracle_sql() -> dict[str, str]:
         "t2_source_token_stats": f"""
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)) AS tokens_total,
-                   SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS words_total,
+                   -- DuckDB SUM(BIGINT) yields HUGEINT (stringifies as float);
+                   -- cast back so the value-hash matches Spark's bigint
+                   CAST(SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)) AS BIGINT) AS tokens_total,
+                   CAST(SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT) AS words_total,
                    CAST(FLOOR(AVG(length(text))) AS BIGINT) AS avg_chars
             FROM documents GROUP BY source
         """,

@@ -234,9 +234,13 @@ class CdcEngine:
             events = events.join(recent, "lsn", "left_anti")
         # the default fused path consumes `events` exactly once (the union),
         # so no cache; grouped / quarantine-missing modes scan it repeatedly
-        events_cached = cfg.grouped_resolve or cfg.update_missing == "quarantine"
-        if events_cached:
-            events = events.persist()
+        # keep a separate handle to the frame that was actually persisted:
+        # grouped/quarantine modes rebind `events` to derived frames below,
+        # and unpersisting a derived frame is a no-op (the cache would leak
+        # across batches in a long run)
+        events_pinned = None
+        if cfg.grouped_resolve or cfg.update_missing == "quarantine":
+            events_pinned = events = events.persist()
         try:
             old_entries = {e["partition"]: e for e in snap["manifest"]}
             rpt.rows_before = sum(e["live_rows"] for e in old_entries.values())
@@ -501,8 +505,8 @@ class CdcEngine:
             )
             _tick("commit+seen")
         finally:
-            if events_cached:
-                events.unpersist()
+            if events_pinned is not None:
+                events_pinned.unpersist()
         return rpt
 
     # ------------------------------------------------------------------ run
@@ -545,6 +549,16 @@ class CdcEngine:
             config=self.config,
             dedup_window_batches=self.checkpoint.window,
         )
+        # the live table's checksum_columns were frozen at ITS creation; the
+        # scratch table just froze the current (possibly evolved) schema.
+        # Copy the live set over so both digests hash the same column set —
+        # otherwise replay_verify reports ok=False after any schema evolution
+        # even when content is identical.
+        live_ck = self.table.snapshot().get("checksum_columns")
+        if live_ck is not None:
+            fsnap = fresh.table.snapshot()
+            fsnap["checksum_columns"] = list(live_ck)
+            fresh.table._write_snapshot(fsnap)
         fresh.run(log_dir)
         a, b = self.read(), fresh.read()
         cols = sorted(set(a.columns) & set(b.columns))

@@ -64,7 +64,12 @@ def resolve_lww_grouped(df: DataFrame) -> DataFrame:
     schema = df.schema
 
     def _apply(pdf):
-        pdf = pdf.sort_values(["turn_idx", "ts", "lsn"], kind="stable")
+        # na_position='first': a NULL ts must LOSE to any non-null ts, matching
+        # the window path's ts.desc_nulls_last() (pandas puts NaT last by
+        # default, which would invert the winner for null-ts events)
+        pdf = pdf.sort_values(
+            ["turn_idx", "ts", "lsn"], kind="stable", na_position="first"
+        )
         return pdf.drop_duplicates(subset=["turn_idx"], keep="last")
 
     group_cols = ["conv_id"] + (["_salt"] if "_salt" in df.columns else [])

@@ -186,7 +186,14 @@ class IceliteTable:
         window output order already satisfies it. Returns partition →
         relative file paths (empty partitions yield no files).
         """
-        staging = os.path.join(self.root, "tmp", f"b{batch_id}-{uuid.uuid4().hex[:8]}")
+        # attempt id lands in the final file names too: a crash-resume
+        # re-apply of the same batch must never os.replace() over files a
+        # committed snapshot already references (the rerun's AQE coalescing
+        # can split partitions differently, which would leave the committed
+        # manifest pointing at mixed old/new files); orphans from a failed
+        # attempt are reclaimed by expire_snapshots()
+        attempt = uuid.uuid4().hex[:8]
+        staging = os.path.join(self.root, "tmp", f"b{batch_id}-{attempt}")
         out_df = df_physical.withColumn("p", F.col(PART_COL))
         if not pre_partitioned:
             out_df = out_df.repartition(F.col(PART_COL))
@@ -218,7 +225,9 @@ class IceliteTable:
             )
             rels = []
             for i, src in enumerate(srcs):
-                rel = os.path.join("data", f"b{batch_id:05d}", f"p{part:05d}-{i:04d}.parquet")
+                rel = os.path.join(
+                    "data", f"b{batch_id:05d}", f"p{part:05d}-{i:04d}-{attempt}.parquet"
+                )
                 os.replace(os.path.join(staging, name, src), os.path.join(self.root, rel))
                 rels.append(rel)
             out[part] = rels

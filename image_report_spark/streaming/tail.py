@@ -62,14 +62,23 @@ def stream_apply(
     src = reader.withColumn("_file", F.input_file_name())
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        files = [r[0] for r in batch_df.select("_file").distinct().collect()]
-        for f in sorted(files):
-            m = _BATCH_RE.search(f)
-            batch_id = int(m.group(1)) if m else int(epoch_id)
-            if engine.checkpoint.is_applied(batch_id):
-                continue  # at-least-once foreachBatch → idempotent skip
-            one = normalize_header(batch_df.filter(F.col("_file") == f).drop("_file"))
-            engine.apply_batch(one, batch_id)
+        # pin the micro-batch once: the per-file filter below would otherwise
+        # re-read the source per discovered file (O(files²) scans when
+        # maxFilesPerTrigger > 1)
+        batch_df = batch_df.persist()
+        try:
+            files = [r[0] for r in batch_df.select("_file").distinct().collect()]
+            for f in sorted(files):
+                m = _BATCH_RE.search(f)
+                batch_id = int(m.group(1)) if m else int(epoch_id)
+                if engine.checkpoint.is_applied(batch_id):
+                    continue  # at-least-once foreachBatch → idempotent skip
+                one = normalize_header(
+                    batch_df.filter(F.col("_file") == f).drop("_file")
+                )
+                engine.apply_batch(one, batch_id)
+        finally:
+            batch_df.unpersist()
 
     writer = src.writeStream.foreachBatch(handle).option(
         "checkpointLocation", stream_checkpoint

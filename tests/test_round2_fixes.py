@@ -1,0 +1,86 @@
+"""Round-2 regression tests for the advisor-reported defects:
+
+* replay_verify must stay ok=True after additive schema evolution (the
+  scratch table must digest the same frozen column set as the live one);
+* the grouped resolver must agree with the window resolver on NULL ts
+  (window: desc_nulls_last → NULL loses; pandas default NaT-last inverted
+  that);
+* a crash-resume re-apply of a committed batch must never overwrite data
+  files an existing snapshot references (unique per-attempt file names).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from image_report_spark.config import EngineConfig
+from image_report_spark.engine import CdcEngine
+from image_report_spark.fixtures import ChangeLogGenerator
+from image_report_spark.operators.resolve import resolve_lww_grouped, resolve_lww_window
+
+
+def test_replay_verify_ok_after_schema_evolution(spark, tmp_path):
+    gen = ChangeLogGenerator(seed=21, n_convs=30, max_turns=5, n_batches=5, evolve=True)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    eng = CdcEngine.init(spark, str(tmp_path / "t"), str(tmp_path / "cp"),
+                         config=EngineConfig(num_buckets=8))
+    eng.run(log)
+    assert "meta" in eng.read().columns  # evolution actually happened
+    report = eng.replay_verify(log, str(tmp_path / "scratch"))
+    assert report["ok"], report
+    assert report["digest_incremental"] == report["digest_replay"]
+
+
+def test_grouped_resolver_matches_window_on_null_ts(spark):
+    t = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # NULL ts must LOSE to any non-null ts regardless of lsn order
+        (10, "U", "c1", 0, "a", "null-ts-high-lsn", None, None),
+        (1, "I", "c1", 0, "a", "real-ts-low-lsn", None, t),
+        # all-NULL ts per key → highest lsn wins (both paths)
+        (3, "I", "c2", 0, "a", "null-a", None, None),
+        (7, "U", "c2", 0, "a", "null-b", None, None),
+        # plain LWW sanity alongside
+        (4, "I", "c3", 1, "a", "old", None, t),
+        (5, "U", "c3", 1, "a", "new", None, t + dt.timedelta(seconds=5)),
+    ]
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    df = spark.createDataFrame(rows, schema)
+    w = {(r["conv_id"], r["turn_idx"]): r["text"]
+         for r in resolve_lww_window(df).collect()}
+    g = {(r["conv_id"], r["turn_idx"]): r["text"]
+         for r in resolve_lww_grouped(df).collect()}
+    assert w == g
+    assert w[("c1", 0)] == "real-ts-low-lsn"
+    assert w[("c2", 0)] == "null-b"
+
+
+def test_reapply_never_overwrites_committed_files(spark, tmp_path):
+    gen = ChangeLogGenerator(seed=22, n_convs=30, max_turns=5, n_batches=2)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    eng = CdcEngine.init(spark, str(tmp_path / "t"), str(tmp_path / "cp"),
+                         config=EngineConfig(num_buckets=8))
+    from image_report_spark.sources.changelog import ChangeLogSource
+
+    src = ChangeLogSource(spark, log)
+    batches = src.list_batches()
+    eng.apply_batch(src.read_batch(batches[0][1]), 0)
+    snap1 = eng.table.snapshot()
+    files1 = {f for e in snap1["manifest"] for f in e["files"]}
+    rows1 = eng.read().count()
+
+    # crash between snapshot commit and checkpoint marker → batch re-applied
+    eng.apply_batch(src.read_batch(batches[0][1]), 0)
+    snap2 = eng.table.snapshot()
+    files2 = {f for e in snap2["manifest"] for f in e["files"]}
+
+    # the re-apply wrote NEW files; nothing referenced by snapshot 1 was
+    # overwritten, so time travel to snapshot 1 still reads intact data
+    assert files1.isdisjoint(files2)
+    assert eng.table.read(snapshot_id=snap1["snapshot_id"]).count() == rows1
+    assert eng.read().count() == rows1
