@@ -440,13 +440,18 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates verified by exact n-gram Jaccard.
-    (No SQL oracle — minhash isn't SQL-expressible; rows-only check.)"""
+    """MinHash+LSH near-dup pairs verified by exact n-gram Jaccard.
+
+    Oracle: exact all-pairs Jaccard in DuckDB — the LSH pipeline's output
+    must EQUAL the exact answer, which holds when band recall is complete
+    at the verify threshold (bands=16 → rows-per-band r=2 →
+    P(miss | j≥0.8) = (1−0.8²)^16 ≈ 8e-8; the verify step removes all
+    false candidates, so candidates-side precision doesn't matter)."""
     from image_report_spark.operators.dedupe import minhash_dedup
 
-    return minhash_dedup(_docs_with_dups(spark, sf_dir), threshold=0.8).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_dedup(
+        _docs_with_dups(spark, sf_dir), threshold=0.8, bands=16
+    ).orderBy("id_a", "id_b")
 
 
 def d3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,12 +510,15 @@ def t3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints, distinct count per source.
-    (No SQL oracle — xxhash64-based; rows-only check.)"""
-    from image_report_spark.functions.text import fingerprint
+    Uses the portable (md5-based) word hash so DuckDB can mirror the
+    polynomial fold exactly; production default stays xxhash64."""
+    from image_report_spark.functions.text import fingerprint, portable_word_hash
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.withColumn("fp", fingerprint(F.col("text")))
+        docs.withColumn(
+            "fp", fingerprint(F.col("text"), word_hash=portable_word_hash)
+        )
         .groupBy("source")
         .agg(F.countDistinct("fp").alias("n_fingerprints"))
     )
@@ -610,6 +618,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: DuckDB mirror of functions.text.words(): split on \s+, drop empties
+_WORDS_SQL = r"list_filter(string_split_regex({col}, '\s+'), x -> x <> '')"
+
+#: DuckDB mirror of functions.text.portable_word_hash(): first 15 hex chars
+#: of md5 as a 60-bit integer
+_PWH_SQL = "CAST(('0x' || substr(md5({w}), 1, 15)) AS BIGINT)"
+
+
+def _lang_fold_sql(ws: str) -> str:
+    """DuckDB mirror of functions.text.lang_guess(): fold over per-language
+    stopword-hit structs, strictly-greater replaces, 'und' seed."""
+    from image_report_spark.functions.text import LANG_STOPWORDS
+
+    items = ["{'lang': 'und', 'hits': CAST(0 AS BIGINT)}"]
+    for lang, sws in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in sws) + "]"
+        items.append(
+            f"{{'lang': '{lang}', 'hits': len(list_filter({ws}, "
+            f"x -> list_contains({arr}, x)))}}"
+        )
+    structs = "[" + ", ".join(items) + "]"
+    return (
+        f"list_reduce({structs}, "
+        "(a, x) -> CASE WHEN x.hits > a.hits THEN x ELSE a END).lang"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -826,6 +860,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT) AS words_total,
                    CAST(FLOOR(AVG(length(text))) AS BIGINT) AS avg_chars
             FROM documents GROUP BY source
+        """,
+        # exact all-pairs n-gram Jaccard — the LSH pipeline must equal the
+        # exact answer (complete recall at the verify threshold, see
+        # d2_minhash_neardup). Shingles mirror operators.dedupe.shingles():
+        # distinct word 3-grams, whole-doc fallback when < 3 words.
+        "d2_minhash_neardup": r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          ELSE [array_to_string(ws, ' ')] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS ws
+                    FROM docs)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "t3_lang_guess": f"""
+            WITH w AS (
+              SELECT lang, {_WORDS_SQL.format(col="lower(text)")} AS ws
+              FROM documents
+            ), g AS (
+              SELECT lang, {_lang_fold_sql("ws")} AS guess FROM w
+            )
+            SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY lang, guess
+        """,
+        "t4_fingerprint": f"""
+            WITH h AS (
+              SELECT source,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform({_WORDS_SQL.format(col="text")},
+                                        w -> {_PWH_SQL.format(w="w")} % 2147483647)),
+                       (a, b) -> (a * 31 + b) % 2147483647) AS fp
+              FROM documents
+            )
+            SELECT source, COUNT(DISTINCT fp) AS n_fingerprints
+            FROM h GROUP BY source
         """,
         "e1_knn_bruteforce": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -88,13 +88,29 @@ def lang_guess(col: Column) -> Column:
     return best["lang"]
 
 
-def fingerprint(col: Column) -> Column:
+def portable_word_hash(w: Column) -> Column:
+    """60-bit word hash computable bit-identically in ANSI SQL engines:
+    the first 15 hex chars of md5 as an integer. Slower than xxhash64
+    (md5 + string slice per word) — use for oracle-verified paths; the
+    xxhash64 default is the production path."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def xxhash_word_hash(w: Column) -> Column:
+    """Production word hash: 64-bit xxhash, folded to non-negative."""
+    return F.pmod(F.xxhash64(w), F.lit(FP_MOD))
+
+
+def fingerprint(col: Column, word_hash=None) -> Column:
     """Order-sensitive rolling hash over words (document fingerprint).
 
     Polynomial fold ``h = (h*31 + hash(word)) mod (2^31−1)`` — the graft of
-    the reference's content hashes; per-step mod keeps ANSI math safe."""
+    the reference's content hashes; per-step mod keeps ANSI math safe.
+    ``word_hash`` swaps the per-word hash (default xxhash64;
+    :func:`portable_word_hash` for SQL-oracle-verifiable fingerprints)."""
+    wh = word_hash or xxhash_word_hash
     return F.aggregate(
         words(col),
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * 31 + F.pmod(F.xxhash64(w), F.lit(FP_MOD))) % F.lit(FP_MOD),
+        lambda acc, w: (acc * 31 + F.pmod(wh(w), F.lit(FP_MOD))) % F.lit(FP_MOD),
     )
