@@ -455,13 +455,26 @@ def d2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash collision groups (vectorized pandas bit-fold).
-    (No SQL oracle; rows-only check.)"""
+    """SimHash collision groups: JVM-side word hashing + vectorized numpy
+    bit-fold. Uses the portable word hash so DuckDB mirrors the whole
+    fingerprint computation bit-exactly."""
+    from image_report_spark.functions.text import portable_word_hash
     from image_report_spark.operators.dedupe import simhash_duplicates
 
-    return simhash_duplicates(_docs_with_dups(spark, sf_dir)).select(
-        "simhash", F.col("n").cast("long").alias("n")
-    )
+    return simhash_duplicates(
+        _docs_with_dups(spark, sf_dir), word_hash=portable_word_hash
+    ).select("simhash", F.col("n").cast("long").alias("n"))
+
+
+def d4_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup pairs (dist ≤ 3) via 4-band simhash LSH +
+    JVM bit_count(xor) verify; oracle = exact all-pairs in DuckDB."""
+    from image_report_spark.functions.text import portable_word_hash
+    from image_report_spark.operators.dedupe import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs_with_dups(spark, sf_dir), max_dist=3, word_hash=portable_word_hash
+    ).orderBy("id_a", "id_b")
 
 
 def t1_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_exact_dedup": d1_exact_dedup,
         "d2_minhash_neardup": d2_minhash_neardup,
         "d3_simhash_groups": d3_simhash_groups,
+        "d4_simhash_near_pairs": d4_simhash_near_pairs,
         "t1_text_metrics": t1_text_metrics,
         "t2_source_token_stats": t2_source_token_stats,
         "t3_lang_guess": t3_lang_guess,
@@ -625,6 +639,35 @@ _WORDS_SQL = r"list_filter(string_split_regex({col}, '\s+'), x -> x <> '')"
 #: DuckDB mirror of functions.text.portable_word_hash(): first 15 hex chars
 #: of md5 as a 60-bit integer
 _PWH_SQL = "CAST(('0x' || substr(md5({w}), 1, 15)) AS BIGINT)"
+
+
+#: DuckDB mirror of the full simhash pipeline (operators.dedupe.simhash with
+#: portable_word_hash): per-word 60-bit md5-prefix hashes, strict-majority
+#: bit vote. ``range(0, 60)`` because the portable hash has 60 bits (the
+#: numpy fold's bits 60–63 get zero votes and stay unset on both sides).
+_SIMHASH_SQL = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 10 = 0
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+               w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS h
+      FROM docs
+    ), sim AS (
+      SELECT doc_id,
+             -- outer CAST: list_sum yields HUGEINT, which stringifies as
+             -- a float and would break the value hash
+             CAST(COALESCE(list_sum(list_transform(range(0, 60),
+               b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+                         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+               0) AS BIGINT) AS simhash
+      FROM hs
+    )
+"""
 
 
 def _lang_fold_sql(ws: str) -> str:
@@ -889,6 +932,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s)) * 1.0
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "d3_simhash_groups": f"""
+            {_SIMHASH_SQL}
+            SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sim GROUP BY simhash HAVING COUNT(*) > 1
+        """,
+        "d4_simhash_near_pairs": f"""
+            {_SIMHASH_SQL}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
         """,
         "t3_lang_guess": f"""

@@ -230,51 +230,118 @@ def minhash_dedup(
 
 
 # ------------------------------------------------------------------- SimHash
-def _simhash64_fn(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash — vectorized numpy bit-fold per Arrow batch.
+def _simhash_bitfold_fn(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash bit-vote over PRE-HASHED token arrays.
 
-    (The per-token hashing is numpy over a fixed FNV-1a implementation,
-    deterministic regardless of PYTHONHASHSEED.)"""
-    def fnv1a(token: str) -> int:
-        h = 0xCBF29CE484222325
-        for byte in token.encode("utf-8"):
-            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        toks = t.split()
-        if not toks:
-            continue
-        hs = np.fromiter((fnv1a(w) for w in toks), dtype=np.uint64, count=len(toks))
-        bits = ((hs[:, None] >> bit_idx) & 1).astype(np.int64)  # (n_tok, 64)
-        votes = bits.sum(axis=0) * 2 - len(toks)                # ±1 votes
-        sim = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim)
+    Fully vectorized — no per-row/per-token Python: all docs' hashes in the
+    Arrow batch are concatenated into one uint64 array, unpacked to a
+    (tokens, 64) bit matrix in one shift, and majority-voted per doc with a
+    single ``np.add.reduceat`` segment sum. Word hashing itself happens
+    JVM-side (``transform(words, xxhash64)``) before this UDF.
+    """
+    n = len(hash_arrays)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    lists = [
+        np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+        for a in hash_arrays
+    ]
+    lens = np.fromiter((len(a) for a in lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(out)
+    flat = np.concatenate([a for a in lists if len(a)]).view(np.uint64)
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )  # (total_tokens, 64)
+    nz = np.flatnonzero(lens)
+    offsets = np.zeros(n, dtype=np.int64)
+    offsets[1:] = np.cumsum(lens)[:-1]
+    votes = np.add.reduceat(bits, offsets[nz], axis=0)  # (n_nonempty, 64)
+    maj = (votes * 2 > lens[nz, None]).astype(np.uint64)  # strict majority → 1
+    sims = (maj << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    # bit-preserving uint64 → int64 (astype raises OverflowError on numpy 2)
+    out[nz] = sims.view(np.int64)
     return pd.Series(out)
 
 
 _simhash_udf = None
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> Column:
+def simhash(df: DataFrame, text_col: str = "text", word_hash=None) -> Column:
+    """64-bit SimHash column: JVM-side word hashing (default ``xxhash64``;
+    pass ``portable_word_hash`` for a SQL-mirrorable 60-bit variant), then
+    the vectorized numpy bit-fold."""
     global _simhash_udf
     if _simhash_udf is None:  # deferred: pandas_udf needs an active session
-        _simhash_udf = pandas_udf(_simhash64_fn, "long")
-    return _simhash_udf(F.col(text_col))
+        _simhash_udf = pandas_udf(_simhash_bitfold_fn, "long")
+    wh = word_hash or (lambda w: F.xxhash64(w))  # xxhash64 is *args — wrap
+    hashes = F.transform(words(F.col(text_col)), wh)
+    return _simhash_udf(hashes)
 
 
 def simhash_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", word_hash=None
 ) -> DataFrame:
-    """Exact-SimHash-collision groups (Hamming distance 0 — extend by
-    banding the 64 bits for distance ≤ 3 at scale)."""
-    h = df.select(F.col(id_col), simhash(df, text_col).alias("simhash"))
+    """Exact-SimHash-collision groups (Hamming distance 0; use
+    :func:`simhash_near_pairs` for distance ≤ k grouping)."""
+    h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("simhash"))
     return (
         h.groupBy("simhash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+    word_hash=None,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ ``max_dist`` (< 4).
+
+    Banded LSH on the fingerprint itself: the 64 bits split into 4 16-bit
+    bands; two keys within distance ≤ 3 must agree on ≥ 1 whole band
+    (pigeonhole), so candidates = same-band-value pairs — the all-pairs
+    O(n²) never materializes, and the shuffle key ``(band, band_bits)`` is
+    uniform. Candidates are verified with a JVM-side
+    ``bit_count(a XOR b)`` — no Python in the verify path."""
+    if not 0 <= max_dist < 4:
+        raise ValueError("banding with 4 bands covers max_dist in [0, 3]")
+    h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("_sim"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sim"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_bits"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = h.select(id_col, "_sim", F.explode(band_arr).alias("bb")).select(
+        id_col, "_sim", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits")
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_bits"),
+        F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_bits"),
+        F.col(id_col).alias("id_b"), F.col("_sim").alias("_sim_b"),
+    )
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dist",
+            F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).cast("int"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+        .distinct()
     )

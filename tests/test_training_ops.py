@@ -149,6 +149,54 @@ def test_simhash_groups(spark, docs):
     assert len(groups) == 1 and sorted(groups[0]["ids"]) == [0, 1]
 
 
+def test_simhash_bitfold_matches_naive_loop(spark, docs):
+    """Vectorized kernel == naive per-token reference loop (graft of the
+    reference's impl-vs-_naive_neighbor_count equality test,
+    tests/test_hashing_config.py:11-30) over the production xxhash64 path."""
+    from image_report_spark.functions.text import words
+    from image_report_spark.operators.dedupe import simhash
+
+    rows = docs.select(
+        "doc_id",
+        F.transform(words(F.col("text")), lambda w: F.xxhash64(w)).alias("hashes"),
+        simhash(docs, "text").alias("got"),
+    ).collect()
+    assert rows
+    for r in rows:
+        hs = [h & 0xFFFFFFFFFFFFFFFF for h in r["hashes"]]
+        sim = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                sim |= 1 << b
+        if sim >= 1 << 63:
+            sim -= 1 << 64
+        assert sim == r["got"], r["doc_id"]
+
+
+def test_simhash_near_pairs_hamming(spark, docs):
+    """Banded Hamming-ball grouping: exact dup at dist 0, near dup within
+    dist ≤ 3 iff its fingerprint is, and never any pair the exact all-pairs
+    check would reject."""
+    from image_report_spark.operators.dedupe import simhash, simhash_near_pairs
+
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash(docs, "text").alias("s")).collect()
+    }
+    expected = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sims[a] ^ sims[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                expected.add((a, b))
+    got = {
+        (r.id_a, r.id_b) for r in simhash_near_pairs(docs, max_dist=3).collect()
+    }
+    assert got == expected
+    assert (0, 1) in got  # the exact dup pair
+
+
 # ------------------------------------------------------------- similarity
 @pytest.fixture(scope="module")
 def embeddings(spark):
