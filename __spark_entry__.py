@@ -552,7 +552,9 @@ def e1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (scale path; rows-only check)."""
+    """LSH-bucketed approximate top-5 (single-bucket probe). Oracle: the
+    seeded hyperplanes are deterministic, so DuckDB recomputes the same
+    sign-bit buckets from plane literals and probes the same bucket."""
     from image_report_spark.operators.similarity import knn_lsh
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
@@ -560,12 +562,14 @@ def e2_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e3_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantization cell histogram (rows-only check)."""
+    """IVF coarse-quantization cell histogram at realistic C=256: the
+    centroid matrix rides in the pandas-UDF closure (one matmul per Arrow
+    batch — plan size O(1) in C). Oracle: 256 centroid literals in SQL."""
     from image_report_spark.operators.similarity import ivf_assign
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_assign(emb, n_cells=16).groupBy(
-        F.col("_cell").alias("cell")
+    return ivf_assign(emb, n_cells=256).groupBy(
+        F.col("_cell").cast("int").alias("cell")
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -668,6 +672,34 @@ _SIMHASH_SQL = r"""
       FROM hs
     )
 """
+
+
+def _lsh_bucket_sql(vec_expr: str) -> str:
+    """DuckDB mirror of operators.similarity.lsh_bucket(): sign bits from
+    the same seeded hyperplanes, emitted as full-precision double literals
+    (repr round-trips float64 exactly on both parsers)."""
+    from image_report_spark.operators.similarity import _planes
+
+    planes = _planes(64, 6, 97)
+    terms = []
+    for i in range(6):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_cents_values_sql(n_cells: int = 256) -> str:
+    """The seeded IVF centroids as SQL VALUES rows (values pre-rounded to
+    6 dp, so the decimal literals parse to identical doubles everywhere)."""
+    from image_report_spark.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(n_cells, 64, 101)
+    return ",\n".join(
+        f"({c}, {[float(x) for x in cents[c]]!r})" for c in range(n_cells)
+    )
 
 
 def _lang_fold_sql(ws: str) -> str:
@@ -978,5 +1010,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 5
+        """,
+        "e2_knn_lsh": f"""
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), b AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     {_lsh_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+              FROM embeddings WHERE vec_id <> 0
+            ), qb AS (
+              SELECT {_lsh_bucket_sql("qv")} AS bucket FROM q
+            )
+            SELECT b.vec_id,
+                   ROUND(list_cosine_similarity(b.v, q.qv), 4) AS cos_sim
+            FROM b, q, qb
+            WHERE b.bucket = qb.bucket
+            ORDER BY cos_sim DESC, b.vec_id ASC
+            LIMIT 5
+        """,
+        "e3_ivf_cells": f"""
+            WITH cents(cell, cv) AS (VALUES {_ivf_cents_values_sql(256)}),
+            scored AS (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv) DESC,
+                                c.cell ASC) AS rk
+              FROM embeddings e CROSS JOIN cents c
+            )
+            SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n
+            FROM scored WHERE rk = 1 GROUP BY cell
         """,
     }

@@ -4,20 +4,26 @@
   product, ``ORDER BY ... LIMIT k`` (TakeOrderedAndProject — no full
   sort). The correctness baseline.
 * :func:`knn_lsh` — random-hyperplane LSH: deterministic seeded planes,
-  sign-bit bucket key, search only the query's bucket (and optionally
-  Hamming-adjacent buckets). The 100 TB path: the scan prunes to
-  ~n/2^planes rows; planes are a broadcast literal, no shuffle at all
-  for a single-bucket probe.
-* :func:`ivf_assign` / :func:`knn_ivf` — IVF-style coarse quantization:
-  assign each vector to its nearest of C seeded centroids (broadcast
-  crossJoin + min_by — C is small), probe only the query's cell(s).
+  sign-bit bucket key, probe the query's bucket plus (``probe_dist``)
+  Hamming-adjacent buckets. :func:`knn_lsh_adaptive` widens the probe
+  radius until ≥ k candidates exist (empty-primary-bucket fallback).
+  The 100 TB path: the scan prunes to ~n·(probed buckets)/2^planes rows;
+  planes are broadcast literals, no shuffle for the probe.
+* :func:`ivf_assign` / :func:`knn_ivf` — IVF coarse quantization: each
+  vector assigned to its nearest of C centroids by ONE vectorized numpy
+  matmul per Arrow batch (the centroid matrix ships in the UDF closure —
+  a broadcast by construction, no C×dim literal expressions in the plan,
+  so C=4096 costs the same plan size as C=16). ``nprobe`` > 1 probes the
+  query's nearest cells.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from image_report_spark.functions.vectors import cosine, dot, lit_vector
 
@@ -43,6 +49,7 @@ def knn_bruteforce(
     )
 
 
+# ----------------------------------------------------------------------- LSH
 def _planes(dim: int, n_planes: int, seed: int = 97) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
@@ -58,6 +65,22 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8, seed: int = 97):
     return bucket
 
 
+def query_bucket(query_vec: list[float], n_planes: int = 6, seed: int = 97) -> int:
+    planes = _planes(len(query_vec), n_planes, seed)
+    qb = 0
+    for i in range(n_planes):
+        if float(np.dot(planes[i], query_vec)) > 0:
+            qb |= 1 << i
+    return qb
+
+
+def _hamming_ball(center: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ``radius`` of ``center``."""
+    return [
+        b for b in range(1 << n_planes) if bin(b ^ center).count("1") <= radius
+    ]
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -67,63 +90,113 @@ def knn_lsh(
     n_planes: int = 6,
     seed: int = 97,
     round_to: int = 4,
+    probe_dist: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's sign bucket."""
+    """Approximate top-k: probe the query's sign bucket, plus every bucket
+    within Hamming distance ``probe_dist`` of it (multi-probe)."""
     dim = len(query_vec)
-    planes = _planes(dim, n_planes, seed)
-    qb = 0
-    for i in range(n_planes):
-        if float(np.dot(planes[i], query_vec)) > 0:
-            qb |= 1 << i
+    qb = query_bucket(query_vec, n_planes, seed)
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
-    probe = bucketed.filter(F.col("_bucket") == qb)
+    if probe_dist <= 0:
+        probe = bucketed.filter(F.col("_bucket") == qb)
+    else:
+        probe = bucketed.filter(
+            F.col("_bucket").isin(_hamming_ball(qb, n_planes, probe_dist))
+        )
     return knn_bruteforce(probe, query_vec, k, id_col, vec_col, round_to)
+
+
+def knn_lsh_adaptive(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 97,
+    round_to: int = 4,
+) -> DataFrame:
+    """Multi-probe fallback: widen the probe radius until ≥ k candidates.
+
+    One tiny aggregation computes the per-bucket histogram (≤ 2^n_planes
+    rows on the driver — metadata-sized), then the radius is chosen without
+    rescanning; the data-sized probe scan runs exactly once."""
+    dim = len(query_vec)
+    qb = query_bucket(query_vec, n_planes, seed)
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    hist = {
+        int(r["_bucket"]): int(r["n"])
+        for r in bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    radius = 0
+    while radius < n_planes:
+        ball = _hamming_ball(qb, n_planes, radius)
+        if sum(hist.get(b, 0) for b in ball) >= k:
+            break
+        radius += 1
+    probe = bucketed.filter(
+        F.col("_bucket").isin(_hamming_ball(qb, n_planes, radius))
+    )
+    return knn_bruteforce(probe, query_vec, k, id_col, vec_col, round_to)
+
+
+# ----------------------------------------------------------------------- IVF
+def seeded_centroids(n_cells: int, dim: int = 64, seed: int = 101) -> np.ndarray:
+    """Deterministic centroids, rounded to 6 dp so the exact same decimal
+    literals are parseable by any SQL oracle (decimal → nearest double is
+    deterministic on both sides)."""
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal((n_cells, dim)), 6)
 
 
 def ivf_assign(
     df: DataFrame,
+    centroids: np.ndarray | None = None,
     n_cells: int = 16,
     dim: int = 64,
     vec_col: str = "embedding",
     seed: int = 101,
+    out: str = "_cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest seeded centroid (coarse IVF cell).
+    """Assign each vector to its nearest centroid (coarse IVF cell).
 
-    Centroids are literals (broadcast by construction); the argmin is a
-    fold over a small array of structs — no shuffle, no UDF."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    v = F.col(vec_col).cast("array<double>")
-    scored = F.array(
-        *[
-            F.struct(F.lit(c).alias("cell"), dot(v, lit_vector(list(cents[c]))).alias("d"))
-            for c in range(n_cells)
-        ]
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(F.lit(-1).alias("cell"), F.lit(float("-inf")).alias("d")),
-        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
-    )
-    return df.withColumn("_cell", best["cell"])
+    The centroid matrix rides in the pandas-UDF closure (one broadcast per
+    job) and the whole Arrow batch is assigned with a single float64
+    matmul + argmax — plan size is O(1) in C, so realistic C (≥ 4096)
+    costs nothing at planning time, unlike a C×dim literal expression
+    tree. Ties go to the lowest cell id (np.argmax keeps the first max)."""
+    cents = seeded_centroids(n_cells, dim, seed) if centroids is None else centroids
+    cents_t = np.ascontiguousarray(cents.astype(np.float64).T)
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.empty(0, np.int32))
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        return pd.Series(np.argmax(m @ cents_t, axis=1).astype(np.int32))
+
+    assigned = pandas_udf(_assign, "int")
+    return df.withColumn(out, assigned(F.col(vec_col).cast("array<double>")))
 
 
 def knn_ivf(
     df: DataFrame,
     query_vec: list[float],
     k: int = 5,
+    centroids: np.ndarray | None = None,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 101,
     round_to: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Probe only the query's IVF cell (nprobe=1)."""
+    """Probe the query's ``nprobe`` nearest IVF cells."""
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    qcell = int(np.argmax(cents @ np.asarray(query_vec)))
-    assigned = ivf_assign(df, n_cells, dim, vec_col, seed)
+    cents = seeded_centroids(n_cells, dim, seed) if centroids is None else centroids
+    scores = cents.astype(np.float64) @ np.asarray(query_vec, dtype=np.float64)
+    probe_cells = [int(c) for c in np.argsort(-scores, kind="stable")[:nprobe]]
+    assigned = ivf_assign(df, cents, vec_col=vec_col)
     return knn_bruteforce(
-        assigned.filter(F.col("_cell") == qcell), query_vec, k, id_col, vec_col, round_to
+        assigned.filter(F.col("_cell").isin(probe_cells)),
+        query_vec, k, id_col, vec_col, round_to,
     )

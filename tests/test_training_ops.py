@@ -238,6 +238,50 @@ def test_ivf_cells_and_probe(spark, embeddings):
     assert 7 in got  # near-duplicate lands in the same cell
 
 
+def test_knn_lsh_adaptive_handles_empty_primary_bucket(spark, embeddings):
+    from image_report_spark.operators.similarity import (
+        knn_lsh_adaptive,
+        lsh_bucket,
+        query_bucket,
+    )
+
+    df, vecs = embeddings
+    q = [float(x) for x in vecs[0]]
+    qb = query_bucket(q, n_planes=4)
+    # empty the primary bucket: drop every row that hashes into it
+    holed = df.withColumn(
+        "_b", lsh_bucket(F.col("embedding"), dim=16, n_planes=4)
+    ).filter(F.col("_b") != qb).drop("_b")
+    assert knn_lsh(holed, q, k=3, n_planes=4).count() == 0  # single-probe misses
+    got = knn_lsh_adaptive(holed, q, k=3, n_planes=4).collect()
+    assert len(got) == 3  # multi-probe widened the radius and found k
+
+
+def test_ivf_assign_matches_numpy_oracle(spark, embeddings):
+    from image_report_spark.operators.similarity import seeded_centroids
+
+    df, vecs = embeddings
+    cents = seeded_centroids(256, 16, seed=5)
+    got = {
+        r.vec_id: r["_cell"]
+        for r in ivf_assign(df, centroids=cents).select("vec_id", "_cell").collect()
+    }
+    expect = np.argmax(vecs.astype(np.float64) @ cents.T, axis=1)
+    assert got == {i: int(expect[i]) for i in range(len(vecs))}
+
+
+def test_knn_ivf_nprobe_all_equals_bruteforce(spark, embeddings):
+    df, vecs = embeddings
+    q = [float(x) for x in vecs[0]]
+    sub = df.filter("vec_id != 0")
+    exact = [r.vec_id for r in knn_bruteforce(sub, q, k=5).collect()]
+    probed = [
+        r.vec_id
+        for r in knn_ivf(sub, q, k=5, n_cells=8, nprobe=8).collect()
+    ]
+    assert probed == exact  # probing every cell degenerates to exact search
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_feature_extraction(spark):
     media = synth_media(spark, n=12, seed=7)
