@@ -573,16 +573,45 @@ def e3_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns → mapInPandas feature extraction (stubbed
-    decode, real plumbing). Deterministic synth input; rows-only check."""
-    from image_report_spark.operators.multimodal import extract_features, synth_media
+def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: payload = the
+    first 64 printable-ASCII chars of the text (padded), as binary — so a
+    SQL oracle can recompute every byte the fake decoder sees."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.rpad(
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "[^ -~]", ""),
+        64,
+        "x",
+    )
+    kind = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit("image"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(clean, "utf-8").alias("payload"),
+        F.lit(4).cast("int").alias("width"),
+        F.lit(4).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
 
-    media = synth_media(spark, n=64, seed=7)
-    feats = extract_features(media)
+
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → mapInPandas decode + featurize. The decode
+    kernel is the deterministic fake (no codec libs in this container), so
+    the oracle recomputes its arithmetic — tiled-byte sum over the 4×4
+    decode window — from the same document-derived payload bytes in SQL.
+    Per-item error isolation visible: video rows fail, never the batch."""
+    from image_report_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_doc_media(spark, sf_dir))
     return feats.groupBy("kind", "status").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("byte_len").cast("long").alias("bytes_total"),
+        F.sum("content_hash").cast("long").alias("hash_total"),
     )
 
 
@@ -1010,6 +1039,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 5
+        """,
+        # mirrors _doc_media + the fake decoder: payload = first 64
+        # printable-ASCII chars (padded); decode window = first 4×4 = 16
+        # bytes; content_hash = their sum; video decoders are unavailable
+        "m1_multimodal_features": r"""
+            WITH m AS (
+              SELECT CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS kind,
+                     rpad(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'),
+                          64, 'x') AS s
+              FROM documents
+            ), f AS (
+              SELECT kind,
+                     CASE WHEN kind = 'video'
+                          THEN 'failed:decoder_unavailable' ELSE 'ok' END AS status,
+                     length(s) AS byte_len,
+                     CASE WHEN kind <> 'video'
+                          THEN list_sum(list_transform(range(1, 17),
+                                        i -> ascii(substr(s, i, 1))))
+                          ELSE NULL END AS content_hash
+              FROM m
+            )
+            SELECT kind, status, COUNT(*) AS n,
+                   CAST(SUM(byte_len) AS BIGINT) AS bytes_total,
+                   CAST(SUM(content_hash) AS BIGINT) AS hash_total
+            FROM f GROUP BY kind, status
         """,
         "e2_knn_lsh": f"""
             WITH q AS (
