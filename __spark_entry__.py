@@ -185,14 +185,27 @@ def q3_multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q4_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: self theta-join on an interval predicate (events within 60 s)."""
+    """J2: self-join on an interval predicate (events within 60 s) —
+    time-BUCKETED: the join key is (user_id, 60s-bucket), with the left
+    side exploded into its own + next bucket so every qualifying pair
+    meets in exactly one bucket (ts_b ∈ [ts_a, ts_a+60] ⇒ bucket(ts_b) ∈
+    {bucket(ts_a), bucket(ts_a)+1}). Pairs per task are bounded by events
+    per (user, minute) — a hot user no longer quadratically explodes one
+    task, which is what kills the plain user_id equi-join at 100×."""
     ev = _t(spark, sf_dir, "events")
-    a = ev.select(F.col("user_id"), F.col("event_id").alias("id_a"),
-                  F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a"))
-    b = ev.select(F.col("user_id"), F.col("event_id").alias("id_b"),
-                  F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b"))
+    bkt = F.floor(F.unix_micros(F.col("ts")) / F.lit(60_000_000)).alias("bkt")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_a"), F.col("event_type").alias("type_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("bkt"),
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"), F.col("event_type").alias("type_b"),
+        bkt,
+    )
     return (
-        a.join(b, "user_id")
+        a.join(b, ["user_id", "bkt"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("ts_b") >= F.col("ts_a"))

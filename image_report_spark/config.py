@@ -25,7 +25,7 @@ METRIC_CATEGORIES: dict[str, set[str]] = {
     # content digests (graft of the reference's hash family, hashing_config.py:446-509)
     "checksum": {"partition_checksum", "table_digest"},
     # timings (graft of duration_sec attributes, reference ir:218-221,347-353)
-    "timing": {"wall_ms"},
+    "timing": {"wall_ms", "phase_ms"},
     # per-batch op histogram (graft of histogram agg, hashing_config.py:71-79)
     "histogram": {"op_histogram"},
 }

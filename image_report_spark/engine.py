@@ -89,6 +89,7 @@ class BatchReport:
     wall_ms: int = 0
     table_digest: str | None = None
     op_histogram: dict = field(default_factory=dict)
+    phase_ms: dict = field(default_factory=dict)
 
     def ledger(self, selected: set[str]) -> dict:
         base = {
@@ -104,6 +105,8 @@ class BatchReport:
                 base[k] = getattr(self, k)
         if "wall_ms" in selected:
             base["wall_ms"] = self.wall_ms
+        if "phase_ms" in selected:
+            base["phase_ms"] = self.phase_ms
         if "table_digest" in selected:
             base["table_digest"] = self.table_digest
         if "op_histogram" in selected:
@@ -175,14 +178,20 @@ class CdcEngine:
         t0 = time.monotonic()
         _timing = os.environ.get("IRS_TIMING") == "1"
         _last = [t0]
-
-        def _tick(phase: str) -> None:
-            if _timing:
-                now = time.monotonic()
-                print(f"# b{batch_id} {phase}: {now - _last[0]:.2f}s", file=sys.stderr)
-                _last[0] = now
         cfg = self.config
         rpt = BatchReport(batch_id=batch_id)
+
+        # per-phase durations land in the ledger as a selectable metric
+        # (graft of the reference's per-section duration_sec attributes,
+        # ir:218-221,347-353); IRS_TIMING=1 additionally echoes to stderr
+        def _tick(phase: str) -> None:
+            now = time.monotonic()
+            rpt.phase_ms[phase] = rpt.phase_ms.get(phase, 0) + int(
+                (now - _last[0]) * 1000
+            )
+            if _timing:
+                print(f"# b{batch_id} {phase}: {now - _last[0]:.2f}s", file=sys.stderr)
+            _last[0] = now
         snap = self.table.snapshot()
         logical = self.table.logical_schema(snap)
         num_buckets = self.table.num_buckets(snap)
@@ -388,6 +397,18 @@ class CdcEngine:
                 F.sum(F.when(won & (F.col("_op") == "D") & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("del"),
                 F.sum(F.when((F.col("_rn") == 1) & (F.col("_op") != "D"), 1).otherwise(0)).alias("live_after"),
                 F.max(F.when(ev_row, F.col("_lsn"))).alias("mx"),
+                # op histogram folded into the SAME observation (3 more
+                # conditional sums on the one pipeline execution) — the old
+                # groupBy recompute re-ran the entire uncached merge when
+                # metrics=all
+                *[
+                    F.sum(
+                        F.when(
+                            ev_row & (F.col("_replay") == 0) & (F.col("_op") == o), 1
+                        ).otherwise(0)
+                    ).alias(f"op_{o}")
+                    for o in ("I", "U", "D")
+                ],
             )
             merged = ranked_obs.filter(F.col("_rn") == 1)
 
@@ -465,9 +486,9 @@ class CdcEngine:
             )
             if "op_histogram" in cfg.selected_metrics:
                 rpt.op_histogram = {
-                    r["_op"]: r["n"]
-                    for r in ranked.filter(ev_row & (F.col("_replay") == 0))
-                    .groupBy("_op").agg(F.count(F.lit(1)).alias("n")).collect()
+                    o: int(stats[f"op_{o}"] or 0)
+                    for o in ("I", "U", "D")
+                    if int(stats[f"op_{o}"] or 0)
                 }
 
             # 7. commit snapshot + checkpoint marker (in order)

@@ -126,3 +126,18 @@ def test_resolution_plan_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     # Spark 4 pushes a partial top-k below the shuffle for rank-1 filters
     assert "WindowGroupLimit" in plan
+
+
+def test_range_self_join_is_bucket_bounded(spark):
+    """q4's interval self-join must key the join on (user_id, bkt) — the
+    time bucket bounds pairs per task, so one hot user can't quadratically
+    explode a single task at scale."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.q4_range_self_join(spark, "/root/testdata/sf0.001")
+    plan = _explain(q)
+    # the equi-join keys include BOTH user_id and the time bucket; the
+    # interval predicate is a post-join filter, not a nested-loop condition
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    keys_section = plan.split("Left keys")[1].split("Right keys")[0] if "Left keys" in plan else plan
+    assert "bkt" in keys_section and "user_id" in keys_section

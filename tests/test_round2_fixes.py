@@ -59,6 +59,43 @@ def test_grouped_resolver_matches_window_on_null_ts(spark):
     assert w[("c2", 0)] == "null-b"
 
 
+def test_op_histogram_adds_no_extra_job_and_phase_ms_in_ledger(spark, tmp_path):
+    """metrics=all must not re-execute the merge pipeline for the op
+    histogram (it rides the observe() of the single write job), and the
+    ledger carries per-phase durations (graft of the reference's
+    duration_sec attributes, ir:218-221,347-353)."""
+    gen = ChangeLogGenerator(seed=23, n_convs=30, max_turns=5, n_batches=1)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    from image_report_spark.sources.changelog import ChangeLogSource
+
+    src = ChangeLogSource(spark, log)
+    path = src.list_batches()[0][1]
+    sc = spark.sparkContext
+
+    eng_all = CdcEngine.init(spark, str(tmp_path / "ta"), str(tmp_path / "ca"),
+                             config=EngineConfig(num_buckets=8, metrics="all"))
+    sc.setJobGroup("hist-all", "apply with histogram")
+    rpt = eng_all.apply_batch(src.read_batch(path), 0)
+    n_all = len(sc.statusTracker().getJobIdsForGroup("hist-all"))
+
+    eng_basic = CdcEngine.init(spark, str(tmp_path / "tb"), str(tmp_path / "cb"),
+                               config=EngineConfig(num_buckets=8, metrics="basic"))
+    sc.setJobGroup("hist-basic", "apply without histogram")
+    rpt_b = eng_basic.apply_batch(src.read_batch(path), 0)
+    n_basic = len(sc.statusTracker().getJobIdsForGroup("hist-basic"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+
+    assert n_all == n_basic  # the histogram costs zero extra jobs
+    assert rpt.op_histogram
+    assert sum(rpt.op_histogram.values()) == rpt.applied + rpt.superseded
+    # per-phase durations recorded and selected into the ledger
+    ledger = rpt.ledger(eng_all.config.selected_metrics)
+    assert set(ledger["phase_ms"]) >= {"prepass", "write+merge", "partstats"}
+    assert all(v >= 0 for v in ledger["phase_ms"].values())
+    assert rpt_b.conservation_ok() and rpt.conservation_ok()
+
+
 def test_reapply_never_overwrites_committed_files(spark, tmp_path):
     gen = ChangeLogGenerator(seed=22, n_convs=30, max_turns=5, n_batches=2)
     log = str(tmp_path / "log")
