@@ -1,0 +1,94 @@
+"""Hardware-ceiling probe: how does THIS host scale a trivially parallel
+Spark job from local[8] to local[32]?
+
+Two workloads per parallelism level, each in its own JVM/subprocess:
+  * cpu  — compute-dense, memory-light: sum(xxhash64(id)) over a range
+    (whole-stage codegen, no shuffle rows, ~no allocation) — an upper
+    bound on what ANY engine could achieve on this box;
+  * shuffle — memory-heavy: the same range materialized as ~80-byte
+    strings, repartitioned by key, then aggregated — the memory-bus/
+    page-cache shape of a CDC merge.
+
+A single-threaded numpy control runs before each leg to measure host
+throttle drift within the window. Usage: python BENCH/ceiling_probe.py
+[--rows N] [--pair 8 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LEG = r"""
+import sys, time
+cpus, rows, kind = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(cpus * 2))
+         .config("spark.local.dir", "/dev/shm/irs-probe-local")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+# warm-up (JIT) — identical small job
+spark.range(0, 10_000_000, 1, cpus).select(F.sum(F.xxhash64("id") % F.lit(1_000_000_000))).collect()
+t0 = time.monotonic()
+if kind == "cpu":
+    spark.range(0, rows, 1, cpus * 4).select(F.sum(F.xxhash64("id") % F.lit(1_000_000_000))).collect()
+else:
+    df = spark.range(0, rows // 20, 1, cpus * 4).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        F.concat(F.lit("c"), F.col("id").cast("string"),
+                 F.lpad(F.col("id").cast("string"), 60, "x")).alias("v"))
+    df.repartition(cpus * 2, "k").groupBy("k").agg(
+        F.max("v"), F.count(F.lit(1))).select(F.sum("count(1)")).collect()
+print(time.monotonic() - t0)
+spark.stop()
+"""
+
+
+def control() -> float:
+    a = np.random.default_rng(0).standard_normal(2_000_000)
+    t0 = time.monotonic()
+    for _ in range(20):
+        a = np.sort(a)[::-1].copy()
+    return time.monotonic() - t0
+
+
+def leg(cpus: int, rows: int, kind: str) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", LEG, str(cpus), str(rows), kind],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-1500:])
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000_000)
+    ap.add_argument("--pair", type=int, nargs=2, default=(8, 32))
+    args = ap.parse_args()
+    lo, hi = args.pair
+    res = {"controls": [], "legs": {}}
+    for kind in ("cpu", "shuffle"):
+        for cpus in (lo, hi):
+            res["controls"].append(round(control(), 2))
+            res["legs"][f"{kind}@{cpus}"] = round(leg(cpus, args.rows, kind), 2)
+    for kind in ("cpu", "shuffle"):
+        tlo, thi = res["legs"][f"{kind}@{lo}"], res["legs"][f"{kind}@{hi}"]
+        res[f"eff_{kind}"] = round((tlo / thi) / (hi / lo), 3)
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

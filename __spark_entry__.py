@@ -101,9 +101,12 @@ def q_cdc_replay_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = eng.read().select(
             "conv_id", "turn_idx", "role", "text", F.unix_micros("ts").alias("ts_us")
         )
-        # materialize before the scratch dir is removed
-        pdf = out.toPandas()
-        return spark.createDataFrame(pdf, schema=out.schema)
+        # materialize executor-side (distributed write + lazy read-back) so
+        # the result never funnels through the driver — the engine's table
+        # dir is removed in finally, only the small result outlives it
+        result_dir = scratch + "-result"
+        out.write.mode("overwrite").parquet(result_dir)
+        return spark.read.parquet(result_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

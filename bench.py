@@ -58,6 +58,12 @@ def build_spark(cpus: int):
         # engine (a real cluster adds disks with every executor)
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/irs-spark-local"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # throughput GC: default G1's concurrent marking collapses under 32
+        # mutator threads of string churn in one JVM (measured 4× on the
+        # merge stage — see BENCH/BASELINE.md); batch engines want the
+        # stop-the-world parallel collector. On a real cluster set the same
+        # via spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -78,7 +84,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0) -> dict:
+def bench_cdc(
+    spark,
+    n_events: int,
+    cpus: int,
+    n_batches: int = 8,
+    seed: int = 0,
+    log_dir: str | None = None,
+) -> dict:
     from image_report_spark.benchgen import write_bench_log
     from image_report_spark.config import EngineConfig
     from image_report_spark.engine import CdcEngine
@@ -87,7 +100,9 @@ def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0
         os.environ.get("SPARK_GRAFT_TMP", "/dev/shm/irs-bench"),
         f"irs-bench-{uuid.uuid4().hex[:8]}",
     )
-    log_dir = os.path.join(scratch, "log")
+    pregenerated = log_dir is not None
+    if not pregenerated:
+        log_dir = os.path.join(scratch, "log")
     try:
         # untimed JIT/codegen warm-up: a small throwaway apply so the first
         # timed batch doesn't pay JVM compilation (identical for every
@@ -102,9 +117,13 @@ def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0
         )
         warm.run(warm_log)
 
-        t0 = time.monotonic()
-        rows = write_bench_log(log_dir, n_events, n_batches=n_batches, seed=seed)
-        gen_s = time.monotonic() - t0
+        if pregenerated:
+            gen_s = 0.0
+            rows = 0  # filled from the apply ledger below
+        else:
+            t0 = time.monotonic()
+            rows = write_bench_log(log_dir, n_events, n_batches=n_batches, seed=seed)
+            gen_s = time.monotonic() - t0
         # num_buckets is FIXED across parallelism levels so local[8] and
         # local[32] run the identical job (the scaling protocol's premise);
         # 128 buckets also keeps the merge stage's available parallelism
@@ -122,6 +141,8 @@ def bench_cdc(spark, n_events: int, cpus: int, n_batches: int = 8, seed: int = 0
         reports = eng.run(log_dir)
         apply_s = time.monotonic() - t0
         assert all(r.conservation_ok() for r in reports), "ledger invariant broken"
+        if pregenerated:
+            rows = sum(r.events_read for r in reports)
         for r in reports:
             print(f"# batch {r.batch_id}: {r.wall_ms}ms rows_after={r.rows_after}",
                   file=sys.stderr)
@@ -145,6 +166,9 @@ def main() -> int:
     ap.add_argument("--events", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_EVENTS", "2000000")))
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--log-dir", default=None,
+                    help="pre-generated change log to apply (skips synthesis; "
+                         "lets a scaling harness reuse one input across legs)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,7 +187,8 @@ def main() -> int:
     if not args.cdc_only:
         q_times = bench_queries(spark, sf_dir)
     if not args.queries_only:
-        cdc = bench_cdc(spark, args.events, cpus, n_batches=args.batches)
+        cdc = bench_cdc(spark, args.events, cpus, n_batches=args.batches,
+                        log_dir=args.log_dir)
         q_times["cdc_apply"] = cdc["apply_sec"]
 
     total = round(sum(q_times.values()), 3)
