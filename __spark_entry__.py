@@ -435,6 +435,52 @@ def q20_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 graft: native tumbling event-time window (F.window) — counts
+    and value mass per 5-minute window per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws_us"),
+            "event_type", "n", "value_sum",
+        )
+    )
+
+
+def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 graft: native session windows (F.session_window, 30-min gap)
+    per user — session count, sizes, spans."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+def t5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score composite (length / punctuation-soup / stopword-mass
+    heuristics) bucketed per source."""
+    from image_report_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return (
+        docs.withColumn("q", q)
+        .groupBy("source", F.floor(F.col("q") * 10).cast("long").alias("q_decile"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -665,6 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_json_extract": q18_json_extract,
         "q19_nearest_dim_match": q19_nearest_dim_match,
         "q20_weighted_moving_avg": q20_weighted_moving_avg,
+        "q21_tumbling_window": q21_tumbling_window,
+        "q22_session_window": q22_session_window,
+        "t5_quality_score": t5_quality_score,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_minhash_neardup": d2_minhash_neardup,
         "d3_simhash_groups": d3_simhash_groups,
@@ -944,6 +993,61 @@ def oracle_sql() -> dict[str, str]:
                        + 0.25 * COALESCE(lead(value) OVER w, value), 4) AS smooth
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "q21_tumbling_window": """
+            SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300000000 AS BIGINT) AS ws_us,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        # session_window semantics: an event extends its session to
+        # [ts, ts + gap); the next event merges iff it lands strictly inside,
+        # so a gap >= 30 min starts a new session; session_end = last + gap
+        "q22_session_window": """
+            WITH g AS (
+              SELECT user_id, epoch_us(ts) AS e,
+                     CASE WHEN lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, e,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY e) AS sid
+              FROM g
+            )
+            SELECT user_id,
+                   MIN(e) AS session_start_us,
+                   MAX(e) + 1800000000 AS session_end_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "t5_quality_score": r"""
+            WITH t AS (
+              SELECT source,
+                     length(text) AS nch,
+                     length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS nclean,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), q AS (
+              SELECT source,
+                ROUND((
+                  LEAST(nch / 500.0, 1.0)
+                  + (1.0 - LEAST((CASE WHEN nch > 0
+                        THEN (nch - nclean) * 1.0 / nch ELSE 0.0 END) * 4, 1.0))
+                  + LEAST((CASE WHEN len(ws) > 0
+                        THEN len(list_filter(ws, x -> list_contains(
+                               ['the','and','of','to','a','in','is','that'], x)))
+                             * 1.0 / len(ws)
+                        ELSE 0.0 END) * 5, 1.0)
+                ) / 3, 6) AS qv
+              FROM t
+            )
+            SELECT source, CAST(FLOOR(qv * 10) AS BIGINT) AS q_decile,
+                   COUNT(*) AS n
+            FROM q GROUP BY 1, 2
         """,
         "d1_exact_dedup": """
             WITH docs AS (
