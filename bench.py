@@ -146,7 +146,7 @@ def bench_cdc(
         for r in reports:
             print(f"# batch {r.batch_id}: {r.wall_ms}ms rows_after={r.rows_after}",
                   file=sys.stderr)
-        return {
+        out = {
             "events": rows,
             "batches": n_batches,
             "gen_sec": round(gen_s, 3),
@@ -155,6 +155,30 @@ def bench_cdc(
             "rows_final": reports[-1].rows_after,
             "cpus": cpus,
         }
+        if n_batches > 1 and not pregenerated:
+            # same events as ONE batch: shows how much of the small-batch
+            # figure is fixed per-batch cost (plan/stats/commit ≈ 1–2 s per
+            # batch) vs real merge work — the 10^10-event target implies
+            # 10–100 M-event batches, where the fixed cost vanishes
+            big_log = os.path.join(scratch, "log-big")
+            write_bench_log(big_log, n_events, n_batches=1, seed=seed)
+            eng2 = CdcEngine.init(
+                spark,
+                os.path.join(scratch, "table-big"),
+                os.path.join(scratch, "checkpoint-big"),
+                config=EngineConfig(
+                    num_buckets=buckets, shuffle_partitions=max(cpus * 2, 8)
+                ),
+            )
+            t0 = time.monotonic()
+            reports2 = eng2.run(big_log)
+            big_s = time.monotonic() - t0
+            assert all(r.conservation_ok() for r in reports2)
+            out["single_batch"] = {
+                "apply_sec": round(big_s, 3),
+                "events_per_sec": round(rows / big_s, 1),
+            }
+        return out
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
