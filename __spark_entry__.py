@@ -539,6 +539,32 @@ def d4_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _embeddings_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic near-duplicates: every 10th vector gets a
+    copy (vec_id+1000000) perturbed as v + 0.05·reverse(v) — cosine ≈ 0.999,
+    reproducible bit-for-bit in SQL (float→double is exact, then identical
+    double arithmetic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    perturbed = F.zip_with(v, F.reverse(v), lambda a, b: a + F.lit(0.05) * b)
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        perturbed.alias("embedding"),
+    )
+    return emb.select("vec_id", v.alias("embedding")).unionByName(dups)
+
+
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier: banded sign-LSH candidates + exact
+    cosine verify; oracle = exact all-pairs in DuckDB (complete recall at
+    the 0.99 threshold — see embedding_neardup docstring)."""
+    from image_report_spark.operators.similarity import embedding_neardup
+
+    return embedding_neardup(
+        _embeddings_with_neardups(spark, sf_dir), threshold=0.99
+    ).orderBy("id_a", "id_b")
+
+
 def t1_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analysis: chars, words, BPE-ish tokens, punct ratio."""
     from image_report_spark.functions.text import (
@@ -718,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_minhash_neardup": d2_minhash_neardup,
         "d3_simhash_groups": d3_simhash_groups,
         "d4_simhash_near_pairs": d4_simhash_near_pairs,
+        "d5_embedding_neardup": d5_embedding_neardup,
         "t1_text_metrics": t1_text_metrics,
         "t2_source_token_stats": t2_source_token_stats,
         "t3_lang_guess": t3_lang_guess,
@@ -1126,6 +1153,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        "d5_embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), vecs AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(range(1, len(v) + 1),
+                                    i -> v[i] + 0.05 * list_reverse(v)[i]) AS v
+              FROM base WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+            FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
             ORDER BY id_a, id_b
         """,
         "t3_lang_guess": f"""

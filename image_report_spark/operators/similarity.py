@@ -140,6 +140,62 @@ def knn_lsh_adaptive(
     return knn_bruteforce(probe, query_vec, k, id_col, vec_col, round_to)
 
 
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes_per_band: int = 2,
+    bands: int = 8,
+    seed: int = 97,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup tier for vector
+    corpora (same scale shape as MinHash LSH: candidates from banded
+    sign-bucket collisions, exact cosine verify on candidates only; the
+    all-pairs O(n²) never materializes).
+
+    ``bands`` independent hyperplane sets of ``n_planes_per_band`` planes
+    each; two vectors at angle θ agree on one plane with p = 1 − θ/π, so a
+    pair at cosine ≥ 0.99 (θ ≤ 8.1°) collides in ≥ 1 of 8 two-plane bands
+    with P ≈ 1 − (1 − 0.955²)^8 ≈ 1 − 5e-9 — recall is effectively complete
+    at the verify threshold, so the output equals the exact answer."""
+    dim_row = df.select(F.size(vec_col)).first()
+    dim = int(dim_row[0])
+    planes = _planes(dim, n_planes_per_band * bands, seed)
+    v = F.col(vec_col).cast("array<double>")
+    band_structs = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes_per_band):
+            d = dot(v, lit_vector(list(planes[b * n_planes_per_band + i])))
+            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    banded = df.select(
+        F.col(id_col), v.alias("_v"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(
+        "band", "bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b_side = banded.select(
+        "band", "bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b_side, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------------------- IVF
 def seeded_centroids(n_cells: int, dim: int = 64, seed: int = 101) -> np.ndarray:
     """Deterministic centroids, rounded to 6 dp so the exact same decimal

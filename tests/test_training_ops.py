@@ -270,6 +270,31 @@ def test_ivf_assign_matches_numpy_oracle(spark, embeddings):
     assert got == {i: int(expect[i]) for i in range(len(vecs))}
 
 
+def test_embedding_neardup_equals_exact_allpairs(spark, embeddings):
+    """LSH-banded cosine near-dup == exact all-pairs at the verify
+    threshold (candidates-only verify; recall complete by band math)."""
+    from image_report_spark.operators.similarity import embedding_neardup
+
+    df, vecs = embeddings
+    # plant a near-dup: vec 7 is already vecs[0] + tiny noise (cos ≈ 1)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(df, threshold=0.99, bands=8).collect()
+    }
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    expected = {
+        (i, j)
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if round(sims[i, j], 4) >= 0.99
+    }
+    assert got == expected
+    assert (0, 7) in got  # the planted near-neighbor
+
+
 def test_knn_ivf_nprobe_all_equals_bruteforce(spark, embeddings):
     df, vecs = embeddings
     q = [float(x) for x in vecs[0]]
