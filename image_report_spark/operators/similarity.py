@@ -161,6 +161,10 @@ def embedding_neardup(
     with P ≈ 1 − (1 − 0.955²)^8 ≈ 1 − 5e-9 — recall is effectively complete
     at the verify threshold, so the output equals the exact answer."""
     dim_row = df.select(F.size(vec_col)).first()
+    if dim_row is None:  # empty input → no pairs
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     dim = int(dim_row[0])
     planes = _planes(dim, n_planes_per_band * bands, seed)
     v = F.col(vec_col).cast("array<double>")
