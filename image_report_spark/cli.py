@@ -6,6 +6,11 @@ Subcommands (SURVEY.md §3.4):
 * ``init``            — create an empty Icelite transcript table
 * ``apply``           — tail a change-log dir and merge unapplied batches
 * ``replay-verify``   — rebuild from LSN 0 and diff vs the live table
+* ``sql``             — query the table (view ``t``), time-travel via --snapshot
+* ``history``         — snapshot lineage + per-batch ledgers
+* ``changes``         — incremental change feed between two snapshots
+* ``expire``          — drop old snapshots + unreferenced data files
+* ``stream``          — Structured-Streaming WAL tail (availableNow or continuous)
 * ``gen``             — synthesize a deterministic change log (fixtures)
 
 Run via ``spark-submit --py-files engine.zip -m`` or plain ``python -m
@@ -82,6 +87,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     sp.add_argument("--continuous", action="store_true",
                     help="keep tailing (default: drain backlog and stop)")
 
+    sp = sub.add_parser("sql")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--snapshot", type=int, default=None,
+                    help="time-travel: query this snapshot id")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.add_argument("query", help="SQL over the table registered as view `t`")
+
+    sp = sub.add_parser("history")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("changes")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-snapshot", type=int, required=True)
+    sp.add_argument("--to-snapshot", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=100)
+
     sp = sub.add_parser("gen")
     sp.add_argument("--out", required=True)
     sp.add_argument("--seed", type=int, default=0)
@@ -150,6 +171,32 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(r.ledger(cfg.selected_metrics) | {"skipped": r.skipped}))
         # exit 1 if any batch failed its invariant (graft of ir:614-615)
         return 0 if ok else 1
+
+    if args.cmd == "sql":
+        from image_report_spark.plans.icelite import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        t.read(snapshot_id=args.snapshot).createOrReplaceTempView("t")
+        rows = spark.sql(args.query).limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "history":
+        from image_report_spark.plans.icelite import IceliteTable
+
+        for entry in IceliteTable(spark, args.table).history():
+            print(json.dumps(entry, default=str))
+        return 0
+
+    if args.cmd == "changes":
+        from image_report_spark.plans.icelite import IceliteTable
+
+        t = IceliteTable(spark, args.table)
+        df = t.changes_between(args.from_snapshot, args.to_snapshot)
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        return 0
 
     if args.cmd == "expire":
         from image_report_spark.plans.icelite import IceliteTable

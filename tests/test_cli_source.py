@@ -83,3 +83,36 @@ def test_unsupported_format_raises(tmp_path):
     src = ChangeLogSource(_FakeSpark(), str(tmp_path))
     with pytest.raises(ValueError):
         src.read_batch("batch-00000.csv")
+
+
+def test_sql_history_changes_cli(tmp_path, capsys):
+    """End-to-end CLI query surface: apply a log, then sql / history /
+    changes against the committed table."""
+    import json
+
+    from image_report_spark.cli import main
+
+    log = str(tmp_path / "log")
+    assert main(["gen", "--out", log, "--seed", "3", "--convs", "10",
+                 "--max-turns", "4", "--batches", "2"]) == 0
+    capsys.readouterr()
+    args = ["--master", "local[2]", "--shuffle-partitions", "4"]
+    assert main(args + ["apply", "--table", str(tmp_path / "t"),
+                        "--log", log, "--checkpoint", str(tmp_path / "cp"),
+                        "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    assert main(args + ["sql", "--table", str(tmp_path / "t"),
+                        "SELECT conv_id, COUNT(*) AS n FROM t GROUP BY conv_id"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all("conv_id" in r and "n" in r for r in rows)
+
+    assert main(args + ["history", "--table", str(tmp_path / "t")]) == 0
+    hist = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [h["snapshot_id"] for h in hist] == sorted(h["snapshot_id"] for h in hist)
+    assert len(hist) >= 3  # v0 + 2 batches
+
+    assert main(args + ["changes", "--table", str(tmp_path / "t"),
+                        "--from-snapshot", str(hist[-2]["snapshot_id"])]) == 0
+    ch = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert ch and all("_lsn" in r and "_op" in r for r in ch)
