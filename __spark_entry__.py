@@ -14,6 +14,7 @@ timestamps are compared as epoch microseconds.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import uuid
@@ -106,6 +107,10 @@ def q_cdc_replay_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dir is removed in finally, only the small result outlives it
         result_dir = scratch + "-result"
         out.write.mode("overwrite").parquet(result_dir)
+        # the returned DataFrame reads result_dir lazily, so it can't be
+        # removed here — clean it up at interpreter exit instead of leaking
+        # one parquet dir per bench/correctness invocation
+        atexit.register(shutil.rmtree, result_dir, ignore_errors=True)
         return spark.read.parquet(result_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -556,8 +561,9 @@ def _embeddings_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup tier: banded sign-LSH candidates + exact
-    cosine verify; oracle = exact all-pairs in DuckDB (complete recall at
-    the 0.99 threshold — see embedding_neardup docstring)."""
+    cosine verify; oracle = exact all-pairs in DuckDB (recall complete with
+    overwhelming probability at the 0.99 threshold/seed — see
+    embedding_neardup docstring)."""
     from image_report_spark.operators.similarity import embedding_neardup
 
     return embedding_neardup(
@@ -597,8 +603,8 @@ def t2_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t3_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic vs the labeled lang column.
-    (No SQL oracle; rows-only check.)"""
+    """Language-ID heuristic vs the labeled lang column; the stopword-argmax
+    fold is mirrored in the DuckDB oracle."""
     from image_report_spark.functions.text import lang_guess
 
     docs = _t(spark, sf_dir, "documents")
@@ -1113,7 +1119,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         # exact all-pairs n-gram Jaccard — the LSH pipeline must equal the
-        # exact answer (complete recall at the verify threshold, see
+        # exact answer (recall complete with overwhelming probability at the
+        # verify threshold/seed, see
         # d2_minhash_neardup). Shingles mirror operators.dedupe.shingles():
         # distinct word 3-grams, whole-doc fallback when < 3 words.
         "d2_minhash_neardup": r"""

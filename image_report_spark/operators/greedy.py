@@ -49,7 +49,14 @@ def debounce_turns(
     events are kept unconditionally and never suppress anything (a gap
     from an unknown time is unknown).
     """
-    gap_us = int(min_gap_s * 1_000_000)
+    if min_gap_s <= 0:
+        raise ValueError(
+            "min_gap_s must be > 0 (a zero gap would make the greedy kernel "
+            "a no-op that never advances past the current timestamp)"
+        )
+    # sub-microsecond gaps truncate to 0 via int(); clamp to 1 µs so
+    # searchsorted always advances past the current timestamp
+    gap_us = max(1, int(min_gap_s * 1_000_000))
     schema = df.schema
 
     def _apply(pdf):

@@ -158,10 +158,16 @@ def embedding_neardup(
     ``bands`` independent hyperplane sets of ``n_planes_per_band`` planes
     each; two vectors at angle θ agree on one plane with p = 1 − θ/π, so a
     pair at cosine ≥ 0.99 (θ ≤ 8.1°) collides in ≥ 1 of 8 two-plane bands
-    with P ≈ 1 − (1 − 0.955²)^8 ≈ 1 − 5e-9 — recall is effectively complete
-    at the verify threshold, so the output equals the exact answer."""
-    dim_row = df.select(F.size(vec_col)).first()
-    if dim_row is None:  # empty input → no pairs
+    with P ≈ 1 − (1 − 0.955²)^8 ≈ 1 − 5e-9 — recall is complete with
+    overwhelming probability at this threshold/seed (a miss on new data is
+    expected LSH variance, not an engine bug; the guarantee is
+    threshold-specific and would NOT hold at e.g. 0.8)."""
+    dim_row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.max(F.size(vec_col)))
+        .first()
+    )
+    if dim_row is None or dim_row[0] is None:  # empty / all-null → no pairs
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_sim double"
         )

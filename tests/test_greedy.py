@@ -81,3 +81,20 @@ def test_debounce_null_ts_kept_and_inert(spark):
     got = sorted(r.lsn for r in debounce_turns(df, min_gap_s=10).collect())
     # NULL kept; 0 kept; 5 suppressed by 0; 11 kept (>= 10 after 0)
     assert got == [1, 2, 4]
+
+
+def test_debounce_rejects_nonpositive_gap(spark):
+    """ADVICE r2: gap 0 made searchsorted never advance — the kernel hung an
+    executor task forever. Non-positive gaps are rejected eagerly; tiny
+    positive gaps (sub-µs, truncated to 0 by int()) clamp to 1 µs."""
+    import pytest as _pytest
+
+    df = _mk(spark, [("c", 1, 0), ("c", 2, 0), ("c", 3, 5)])
+    with _pytest.raises(ValueError, match="min_gap_s"):
+        debounce_turns(df, min_gap_s=0)
+    with _pytest.raises(ValueError, match="min_gap_s"):
+        debounce_turns(df, min_gap_s=-1)
+    # 1e-7 s truncates to 0 µs — clamped to 1 µs, terminates, and the
+    # same-timestamp duplicate is suppressed
+    got = sorted(r.lsn for r in debounce_turns(df, min_gap_s=1e-7).collect())
+    assert got == [1, 3]
