@@ -571,6 +571,44 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def d2g_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cluster-safe MinHash dedup CLUSTERS: member → bucket-
+    representative candidate edges (LINEAR in bucket size — no O(bucket²)
+    all-pairs), exact Jaccard verify, distributed connected components.
+    Oracle: exact all-pairs edges + recursive-CTE components in DuckDB —
+    the cluster assignment must EQUAL the exact transitive closure (holds
+    w.o.p. at this threshold/seed; see minhash_dedup_groups docstring)."""
+    from image_report_spark.operators.dedupe import minhash_dedup_groups
+
+    return minhash_dedup_groups(
+        _docs_with_dups(spark, sf_dir), threshold=0.8, bands=16
+    ).orderBy("doc_id")
+
+
+def d4g_simhash_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cluster-safe SimHash Hamming-ball CLUSTERS (dist ≤ 3): band
+    representative edges + bit_count verify + connected components.
+    Oracle: exact all-pairs + recursive-CTE components."""
+    from image_report_spark.functions.text import portable_word_hash
+    from image_report_spark.operators.dedupe import simhash_near_groups
+
+    return simhash_near_groups(
+        _docs_with_dups(spark, sf_dir), max_dist=3, word_hash=portable_word_hash
+    ).orderBy("doc_id")
+
+
+def d5g_embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cluster-safe embedding-cosine CLUSTERS: fine-grained sign-LSH
+    buckets (16 planes × 16 bands — representatives only connect when
+    buckets are pure), cosine verify, connected components. Oracle: exact
+    all-pairs + recursive-CTE components."""
+    from image_report_spark.operators.similarity import embedding_neardup_groups
+
+    return embedding_neardup_groups(
+        _embeddings_with_neardups(spark, sf_dir), threshold=0.99
+    ).orderBy("vec_id")
+
+
 def t1_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analysis: chars, words, BPE-ish tokens, punct ratio."""
     from image_report_spark.functions.text import (
@@ -751,6 +789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash_groups": d3_simhash_groups,
         "d4_simhash_near_pairs": d4_simhash_near_pairs,
         "d5_embedding_neardup": d5_embedding_neardup,
+        "d2g_minhash_groups": d2g_minhash_groups,
+        "d4g_simhash_near_groups": d4g_simhash_near_groups,
+        "d5g_embedding_neardup_groups": d5g_embedding_neardup_groups,
         "t1_text_metrics": t1_text_metrics,
         "t2_source_token_stats": t2_source_token_stats,
         "t3_lang_guess": t3_lang_guess,
@@ -798,6 +839,66 @@ _SIMHASH_SQL = r"""
                0) AS BIGINT) AS simhash
       FROM hs
     )
+"""
+
+
+def _cc_sql(edge_ctes: str, edges_select: str, id_name: str) -> str:
+    """Recursive-CTE connected components over exact all-pairs edges —
+    the DuckDB oracle for the hot-cluster-safe *_groups queries: Spark's
+    representative-edge + distributed-CC answer must equal the exact
+    transitive closure. ``reach(id, r)`` enumerates (node, member of its
+    component); MIN(r) per node is the canonical component label."""
+    lead = f"{edge_ctes}, " if edge_ctes.strip() else ""
+    return f"""
+        WITH RECURSIVE {lead}edges AS ({edges_select}),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM edges
+          UNION
+          SELECT id_b AS a, id_a AS b FROM edges
+        ),
+        nodes AS (SELECT DISTINCT a AS id FROM sym),
+        reach AS (
+          SELECT id, id AS r FROM nodes
+          UNION
+          SELECT s.b AS id, reach.r FROM reach JOIN sym s ON s.a = reach.id
+        )
+        SELECT id AS {id_name}, MIN(r) AS cluster_id
+        FROM reach GROUP BY id ORDER BY {id_name}
+    """
+
+
+#: shared CTE bodies (no leading WITH) for the exact-edge oracles
+_D2_EDGE_CTES = r"""
+        docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 3
+                      THEN list_distinct(list_transform(
+                             range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                      ELSE [array_to_string(ws, ' ')] END AS s
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM docs)
+        )
+"""
+
+_D5_EDGE_CTES = """
+        base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), vecs AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(range(1, len(v) + 1),
+                                i -> v[i] + 0.05 * list_reverse(v)[i]) AS v
+          FROM base WHERE vec_id % 10 = 0
+        )
 """
 
 
@@ -1179,6 +1280,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
             ORDER BY id_a, id_b
         """,
+        "d2g_minhash_groups": _cc_sql(
+            _D2_EDGE_CTES,
+            """
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            """,
+            "doc_id",
+        ),
+        "d4g_simhash_near_groups": _cc_sql(
+            # _SIMHASH_SQL is a full WITH clause; _cc_sql owns the WITH
+            # RECURSIVE keyword, so strip the leading WITH
+            _SIMHASH_SQL.strip().removeprefix("WITH"),
+            """
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            """,
+            "doc_id",
+        ),
+        "d5g_embedding_neardup_groups": _cc_sql(
+            _D5_EDGE_CTES,
+            """
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+              WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+            """,
+            "vec_id",
+        ),
         "t3_lang_guess": f"""
             WITH w AS (
               SELECT lang, {_WORDS_SQL.format(col="lower(text)")} AS ws

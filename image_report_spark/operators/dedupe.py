@@ -7,12 +7,23 @@ corpus scale):
 * exact        — hash-groupBy on content (one shuffle on a 64-bit key);
 * n-gram Jaccard — shingle sets + exact pairwise Jaccard (for candidate
   pairs only — never all-pairs);
-* MinHash+LSH  — shingle → k minhashes → band buckets → bucket-join; only
-  same-bucket pairs are verified. At 100 TB this is THE near-dup path:
-  the all-pairs O(n²) never materializes, the band join shuffles on
-  (band_id, band_hash) which is uniform by construction;
+* MinHash+LSH  — shingle → k minhashes → band buckets; only same-bucket
+  candidates are verified. At 100 TB this is THE near-dup path: the
+  all-pairs O(n²) never materializes;
 * SimHash      — 64-bit sign-aggregated fingerprint via one Arrow-batched
   pandas UDF (numpy bit ops), Hamming-ball grouping on the key.
+
+Hot buckets are the COMMON case on real web corpora — boilerplate creates
+million-member duplicate clusters, so every tier offers two candidate
+shapes:
+
+* PAIRS (``minhash_dedup`` / ``simhash_near_pairs``): all within-bucket
+  pairs via rank + equi-join (``within_bucket_pairs`` — no collect_list
+  arrays, no single-task bucket ownership). Inherently O(cluster²)
+  output; cap with ``max_pairs_per_member`` + ``capped_pair_drops``.
+* GROUPS (``minhash_dedup_groups`` / ``simhash_near_groups``): member →
+  bucket-representative edges (LINEAR) + verify + distributed connected
+  components — the production path for unbounded corpora.
 
 Everything except the SimHash bit-fold is pure ``pyspark.sql.functions``.
 """
@@ -21,11 +32,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from image_report_spark.functions.text import words
+from image_report_spark.operators.graph import connected_components
 
 # Mersenne prime 2^31−1: keeps (a*h + b) < 2^62, safe under ANSI long math
 MINHASH_PRIME = 2_147_483_647
@@ -36,17 +48,22 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Groups of byte-identical documents: (canonical_id, dup_id) pairs.
 
     Hash-groupBy: shuffle on xxhash64(text), not on the text itself —
-    at 100 TB the shuffle carries 8-byte keys + ids, not documents."""
+    at 100 TB the shuffle carries 8-byte keys + ids, not documents.
+    Hot-cluster-safe: canonical id and group size come from window
+    aggregates over the hash partition — a million-member boilerplate
+    cluster is a million ordinary rows, never a million-element
+    ``collect_list`` array in one row."""
     h = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
-    groups = h.groupBy("_h").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.sort_array(F.collect_list(id_col)).alias("ids"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
+    w = Window.partitionBy("_h")
     return (
-        groups.filter(F.col("group_size") > 1)
-        .select("canonical_id", F.explode("ids").alias("dup_id"), "group_size")
-        .filter(F.col("dup_id") != F.col("canonical_id"))
+        h.select(
+            F.min(id_col).over(w).alias("canonical_id"),
+            F.col(id_col).alias("dup_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .filter(
+            (F.col("group_size") > 1) & (F.col("dup_id") != F.col("canonical_id"))
+        )
     )
 
 
@@ -95,6 +112,146 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# -------------------------------------------------- bucket-pair primitives
+def within_bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    max_pairs_per_member: int | None = None,
+) -> DataFrame:
+    """Unordered (id_a < id_b) pairs within each bucket — hot-cluster-safe.
+
+    Generated by rank + explode + equi-join on ``(bucket, position)``
+    instead of ``collect_list`` + nested transform: no row ever holds an
+    O(|bucket|) array, and the work for one bucket spreads across tasks
+    instead of landing in a single straggler. ``carry`` columns are
+    duplicated onto both sides as ``<c>_a`` / ``<c>_b``.
+
+    ``max_pairs_per_member`` caps each member at its ``cap`` nearest
+    id-successors within the bucket — candidate volume becomes
+    O(|bucket| · cap) instead of O(|bucket|²), which is what survives a
+    million-member boilerplate duplicate cluster at 100 TB. Caps must
+    never be silent: when you set one, also run
+    :func:`capped_pair_drops` on the same input and log its count, or use
+    the drop-free cluster path (``minhash_dedup_groups`` /
+    ``simhash_near_groups`` / ``embedding_neardup_groups``) whose
+    representative edges are linear with no drops at all.
+    """
+    w_rank = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    w_all = Window.partitionBy(*bucket_cols)
+    ranked = df.withColumn("_pos", F.row_number().over(w_rank)).withColumn(
+        "_bn", F.count(F.lit(1)).over(w_all)
+    )
+    span = F.col("_bn") - F.col("_pos")
+    if max_pairs_per_member is not None:
+        if max_pairs_per_member < 1:
+            raise ValueError("max_pairs_per_member must be >= 1")
+        span = F.least(span, F.lit(max_pairs_per_member))
+    a = (
+        ranked.filter(F.col("_bn") > F.col("_pos"))
+        .withColumn("_k", F.explode(F.sequence(F.lit(1), span)))
+        .select(
+            *bucket_cols,
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in carry],
+            (F.col("_pos") + F.col("_k")).alias("_pos_b"),
+        )
+    )
+    b = ranked.select(
+        *bucket_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+        F.col("_pos").alias("_pos_b"),
+    )
+    return a.join(b, [*bucket_cols, "_pos_b"]).drop("_pos_b", *bucket_cols)
+
+
+def capped_pair_drops(
+    df: DataFrame,
+    bucket_cols: list[str],
+    max_pairs_per_member: int,
+) -> DataFrame:
+    """1-row count of candidate pairs :func:`within_bucket_pairs` drops at
+    ``max_pairs_per_member`` — run and log it whenever a cap is active
+    (the "no silent caps" rule). Per bucket of n members the exact pair
+    count is n(n−1)/2 and the capped count is Σᵢ min(cap, n−i)."""
+    sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
+    cap = F.lit(max_pairs_per_member)
+    full = F.col("n") * (F.col("n") - 1) / 2
+    # kept = Σ_{i=1..n} min(cap, n−i): the first (n−cap) members emit cap
+    # pairs each, the tail emits (cap−1) + (cap−2) + ... + 0
+    kept = F.when(
+        F.col("n") > cap, cap * (F.col("n") - cap) + cap * (cap - 1) / 2
+    ).otherwise(full)
+    return sizes.agg(
+        F.coalesce(F.sum((full - kept).cast("long")), F.lit(0)).alias("dropped_pairs")
+    )
+
+
+def bucket_rep_edges(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Linear candidate edges: every bucket member → the bucket
+    representative (min id). O(|bucket|) rows per bucket — the
+    hot-cluster-safe candidate shape (reference analog: NMS suppresses
+    against the kept representative, never all-pairs, utils.py:304-317).
+    The representative's ``carry`` payload rides a ``min(struct(id, ...))``
+    window aggregate, so no self-join is needed to fetch it."""
+    w = Window.partitionBy(*bucket_cols)
+    rep = F.min(F.struct(F.col(id_col), *[F.col(c) for c in carry])).over(w)
+    return (
+        df.select(
+            rep.getField(id_col).alias("id_a"),
+            *[rep.getField(c).alias(f"{c}_a") for c in carry],
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+
+
+def bucket_candidate_edges(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    exact_bucket_max: int = 64,
+) -> DataFrame:
+    """Hybrid candidate edges for cluster closure — the groups-path
+    default.
+
+    * Buckets of ≤ ``exact_bucket_max`` members emit ALL within-bucket
+      pairs (≤ C(64,2) ≈ 2k per bucket — bounded constant work, and the
+      band scheme's recall guarantee is preserved exactly: any same-bucket
+      true pair becomes a direct verified edge).
+    * Larger buckets emit member → representative edges only — LINEAR, so
+      a million-member boilerplate duplicate cluster costs a million
+      edges, never 10¹² pairs. Big buckets on real corpora are
+      overwhelmingly PURE (true duplicate clusters), where every rep edge
+      verifies and the cluster connects; a big IMPURE bucket means the
+      band key space is saturated and needs wider keys (e.g. Manku-style
+      multi-band combination keys), not more pairs.
+
+    Output columns: ``id_a < id_b`` plus ``<c>_a`` / ``<c>_b`` for carry.
+    """
+    w_all = Window.partitionBy(*bucket_cols)
+    sized = df.withColumn("_bn", F.count(F.lit(1)).over(w_all))
+    small = within_bucket_pairs(
+        sized.filter(F.col("_bn") <= exact_bucket_max).drop("_bn"),
+        bucket_cols, id_col, carry=carry,
+    )
+    big = bucket_rep_edges(
+        sized.filter(F.col("_bn") > exact_bucket_max).drop("_bn"),
+        bucket_cols, id_col, carry=carry,
+    )
+    return small.unionByName(big).distinct()
 
 
 # ------------------------------------------------------------- MinHash + LSH
@@ -163,7 +320,7 @@ def minhash_signature(col: Column, k: int = 32, seed: int = 13) -> Column:
     return minhash_from_hashes(shingle_hashes(col), k, seed)
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -171,11 +328,8 @@ def minhash_lsh_candidates(
     bands: int = 8,
     seed: int = 13,
 ) -> DataFrame:
-    """Candidate near-dup pairs: same hash in ≥1 of ``bands`` bands.
-
-    Shuffle profile: explode to (doc, band) — k/bands-tuple band hashes —
-    then groupBy (band, band_hash). Bucket sizes are uniform unless true
-    near-dups exist, so no skew mitigation needed beyond AQE."""
+    """(id, band, band_hash) rows: each doc exploded to its ``bands`` LSH
+    band hashes (k/bands minhashes hashed together per band)."""
     r = k // bands
     sig = (
         with_shingle_hashes(df.select(id_col, text_col), text_col)
@@ -190,30 +344,54 @@ def minhash_lsh_candidates(
             ))).alias("band_hash"),
         ),
     )
-    banded = sig.select(id_col, F.explode(band_arr).alias("bh")).select(
+    return sig.select(id_col, F.explode(band_arr).alias("bh")).select(
         id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
     )
-    buckets = banded.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).filter(F.size("ids") > 1)
-    # pairs within bucket (ids sorted → (a<b) pairs), dedup across bands
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda j: F.struct(
-                            F.element_at(F.col("ids"), i + 1).alias("id_a"),
-                            j.alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+    max_pairs_per_member: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: same hash in ≥1 of ``bands`` bands.
+
+    Shuffle profile: explode to (doc, band) — k/bands-tuple band hashes —
+    then rank + equi-join per (band, band_hash) bucket
+    (:func:`within_bucket_pairs` — no ``collect_list`` bucket arrays, no
+    O(|bucket|²) join intermediate in one task). Real web corpora make
+    giant duplicate clusters the COMMON case (boilerplate), so hot buckets
+    are expected, not exceptional: pair volume is inherently quadratic in
+    cluster size, so for unbounded inputs either set
+    ``max_pairs_per_member`` (and log :func:`capped_pair_drops`) or use
+    :func:`minhash_dedup_groups`, whose representative edges are linear
+    with no drops."""
+    banded = minhash_banded(df, text_col, id_col, k, bands, seed)
+    return (
+        within_bucket_pairs(
+            banded, ["band", "band_hash"], id_col,
+            max_pairs_per_member=max_pairs_per_member,
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_rep_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Linear candidate edges: member → bucket representative per band
+    bucket (see :func:`bucket_rep_edges`)."""
+    banded = minhash_banded(df, text_col, id_col, k, bands, seed)
+    return bucket_rep_edges(banded, ["band", "band_hash"], id_col)
 
 
 def minhash_dedup(
@@ -223,10 +401,52 @@ def minhash_dedup(
     threshold: float = 0.8,
     k: int = 32,
     bands: int = 8,
+    max_pairs_per_member: int | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands)
+    """Near-dup PAIRS: LSH candidates → exact Jaccard verify.
+
+    Emits the full pair set (inherently O(cluster²) on a true duplicate
+    cluster); for web-scale corpora prefer :func:`minhash_dedup_groups`
+    (linear cluster assignments) or pass ``max_pairs_per_member``."""
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, k, bands, max_pairs_per_member=max_pairs_per_member
+    )
     return ngram_jaccard_pairs(df, cands, text_col, id_col, threshold=threshold)
+
+
+def minhash_dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Near-dup CLUSTERS — the 100 TB production path.
+
+    Candidates are member → bucket-representative edges (LINEAR in bucket
+    size, so a million-member boilerplate cluster costs a million edges,
+    not 10¹² pairs), verified by exact n-gram Jaccard, then closed
+    transitively with distributed connected components. Output:
+    ``(doc_id, cluster_id)`` for every doc in a cluster of ≥ 2, with
+    ``cluster_id`` = min doc id of the cluster; singletons are absent.
+
+    Candidates come from :func:`bucket_candidate_edges`: exact pairs
+    inside small buckets (bounded work, preserves the band scheme's
+    recall guarantee — any same-bucket true pair is a direct edge), rep
+    edges inside big buckets (linear; big buckets on real corpora are
+    pure duplicate clusters, where every rep edge verifies and the
+    cluster connects). Recall is complete with overwhelming probability
+    at this threshold/seed; a miss on adversarial data is expected LSH
+    variance, not an engine bug."""
+    banded = minhash_banded(df, text_col, id_col, k, bands, seed)
+    edges = bucket_candidate_edges(banded, ["band", "band_hash"], id_col)
+    verified = ngram_jaccard_pairs(df, edges, text_col, id_col, threshold=threshold)
+    comp = connected_components(verified.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
 
 
 # ------------------------------------------------------------------- SimHash
@@ -285,32 +505,26 @@ def simhash_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", word_hash=None
 ) -> DataFrame:
     """Exact-SimHash-collision groups (Hamming distance 0; use
-    :func:`simhash_near_pairs` for distance ≤ k grouping)."""
+    :func:`simhash_near_pairs` / :func:`simhash_near_groups` for
+    distance ≤ k). One row per group — canonical id + size, never a
+    ``collect_list`` of the whole cluster (hot-cluster-safe)."""
     h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("simhash"))
     return (
         h.groupBy("simhash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
 
 
-def simhash_near_pairs(
+def simhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_dist: int = 3,
     word_hash=None,
 ) -> DataFrame:
-    """Near-duplicate pairs at Hamming distance ≤ ``max_dist`` (< 4).
-
-    Banded LSH on the fingerprint itself: the 64 bits split into 4 16-bit
-    bands; two keys within distance ≤ 3 must agree on ≥ 1 whole band
-    (pigeonhole), so candidates = same-band-value pairs — the all-pairs
-    O(n²) never materializes, and the shuffle key ``(band, band_bits)`` is
-    uniform. Candidates are verified with a JVM-side
-    ``bit_count(a XOR b)`` — no Python in the verify path."""
-    if not 0 <= max_dist < 4:
-        raise ValueError("banding with 4 bands covers max_dist in [0, 3]")
+    """(id, _sim, band, band_bits): the 64-bit fingerprint split into
+    4 × 16-bit LSH bands (pigeonhole: distance ≤ 3 ⇒ ≥ 1 whole band
+    agrees)."""
     h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("_sim"))
     band_arr = F.array(
         *[
@@ -323,25 +537,76 @@ def simhash_near_pairs(
             for b in range(4)
         ]
     )
-    banded = h.select(id_col, "_sim", F.explode(band_arr).alias("bb")).select(
+    return h.select(id_col, "_sim", F.explode(band_arr).alias("bb")).select(
         id_col, "_sim", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits")
     )
-    a = banded.select(
-        F.col("band"), F.col("band_bits"),
-        F.col(id_col).alias("id_a"), F.col("_sim").alias("_sim_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("band_bits"),
-        F.col(id_col).alias("id_b"), F.col("_sim").alias("_sim_b"),
-    )
+
+
+def _hamming_verified(pairs: DataFrame, max_dist: int) -> DataFrame:
     return (
-        a.join(b, ["band", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        pairs.withColumn(
             "dist",
             F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b"))).cast("int"),
         )
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
         .distinct()
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+    word_hash=None,
+    max_pairs_per_member: int | None = None,
+) -> DataFrame:
+    """Near-duplicate PAIRS at Hamming distance ≤ ``max_dist`` (< 4).
+
+    Candidates are same-band-value pairs via rank + equi-join
+    (:func:`within_bucket_pairs`) — the all-pairs O(n²) never
+    materializes and no single task owns a whole hot bucket. Verify is
+    JVM-side ``bit_count(a XOR b)`` — no Python. Pair output is
+    inherently O(cluster²) on a true duplicate cluster; prefer
+    :func:`simhash_near_groups` at scale or set
+    ``max_pairs_per_member`` (and log :func:`capped_pair_drops`)."""
+    if not 0 <= max_dist < 4:
+        raise ValueError("banding with 4 bands covers max_dist in [0, 3]")
+    banded = simhash_banded(df, text_col, id_col, word_hash)
+    pairs = within_bucket_pairs(
+        banded, ["band", "band_bits"], id_col, carry=("_sim",),
+        max_pairs_per_member=max_pairs_per_member,
+    )
+    return _hamming_verified(pairs, max_dist)
+
+
+def simhash_near_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 3,
+    word_hash=None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS at Hamming distance ≤ ``max_dist`` — the
+    hot-cluster-safe path: hybrid candidate edges
+    (:func:`bucket_candidate_edges` — exact inside small buckets, which
+    with 16-bit band keys is essential because buckets are NOT pure:
+    dissimilar docs sharing one band are common, so a representative can
+    fail to connect two mutually-close members; rep edges for big pure
+    clusters), ``bit_count`` verify, distributed connected components.
+    Output ``(doc_id, cluster_id)``, cluster_id = min id; singletons
+    absent. At ≳10⁶ docs the 2¹⁶-value band key space saturates (buckets
+    grow impure AND huge); the scale path is wider combination keys à la
+    Manku et al. (split 64 bits into 6 blocks, key on 3-block combos)."""
+    if not 0 <= max_dist < 4:
+        raise ValueError("banding with 4 bands covers max_dist in [0, 3]")
+    banded = simhash_banded(df, text_col, id_col, word_hash)
+    edges = bucket_candidate_edges(
+        banded, ["band", "band_bits"], id_col, carry=("_sim",)
+    )
+    verified = _hamming_verified(edges, max_dist)
+    comp = connected_components(verified.select("id_a", "id_b"))
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
     )

@@ -140,6 +140,39 @@ def knn_lsh_adaptive(
     return knn_bruteforce(probe, query_vec, k, id_col, vec_col, round_to)
 
 
+def _embedding_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes_per_band: int,
+    bands: int,
+    seed: int,
+) -> DataFrame | None:
+    """(id, _v, band, bucket) rows, or None for empty/all-null input."""
+    dim_row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.max(F.size(vec_col)))
+        .first()
+    )
+    if dim_row is None or dim_row[0] is None:
+        return None
+    dim = int(dim_row[0])
+    planes = _planes(dim, n_planes_per_band * bands, seed)
+    v = F.col(vec_col).cast("array<double>")
+    band_structs = []
+    for b in range(bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes_per_band):
+            d = dot(v, lit_vector(list(planes[b * n_planes_per_band + i])))
+            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        band_structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col), v.alias("_v"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     threshold: float = 0.99,
@@ -149,6 +182,7 @@ def embedding_neardup(
     bands: int = 8,
     seed: int = 97,
     round_to: int = 4,
+    max_pairs_per_member: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup tier for vector
     corpora (same scale shape as MinHash LSH: candidates from banded
@@ -161,48 +195,74 @@ def embedding_neardup(
     with P ≈ 1 − (1 − 0.955²)^8 ≈ 1 − 5e-9 — recall is complete with
     overwhelming probability at this threshold/seed (a miss on new data is
     expected LSH variance, not an engine bug; the guarantee is
-    threshold-specific and would NOT hold at e.g. 0.8)."""
-    dim_row = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.max(F.size(vec_col)))
-        .first()
-    )
-    if dim_row is None or dim_row[0] is None:  # empty / all-null → no pairs
+    threshold-specific and would NOT hold at e.g. 0.8).
+
+    Candidates come from rank + equi-join per band bucket
+    (``within_bucket_pairs`` — no O(|bucket|²) single-task intermediate);
+    pair output is still inherently O(cluster²) on a true duplicate
+    cluster, so at web scale prefer :func:`embedding_neardup_groups` or
+    set ``max_pairs_per_member`` (and log ``capped_pair_drops``)."""
+    from image_report_spark.operators.dedupe import within_bucket_pairs
+
+    banded = _embedding_banded(df, id_col, vec_col, n_planes_per_band, bands, seed)
+    if banded is None:  # empty / all-null → no pairs
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_sim double"
         )
-    dim = int(dim_row[0])
-    planes = _planes(dim, n_planes_per_band * bands, seed)
-    v = F.col(vec_col).cast("array<double>")
-    band_structs = []
-    for b in range(bands):
-        bucket = F.lit(0).cast("long")
-        for i in range(n_planes_per_band):
-            d = dot(v, lit_vector(list(planes[b * n_planes_per_band + i])))
-            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
-        )
-    banded = df.select(
-        F.col(id_col), v.alias("_v"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(
-        id_col, "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-    a = banded.select(
-        "band", "bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
-    )
-    b_side = banded.select(
-        "band", "bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    pairs = within_bucket_pairs(
+        banded, ["band", "bucket"], id_col, carry=("_v",),
+        max_pairs_per_member=max_pairs_per_member,
     )
     return (
-        a.join(b_side, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "id_a", "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cos_sim"),
+            F.round(cosine(F.col("_v_a"), F.col("_v_b")), round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
+    )
+
+
+def embedding_neardup_groups(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes_per_band: int = 16,
+    bands: int = 16,
+    seed: int = 97,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERS — hot-cluster-safe: member →
+    bucket-representative edges (LINEAR in bucket size), exact cosine
+    verify on candidates only, distributed connected components. Output
+    ``(vec_id, cluster_id)``, cluster_id = min id; singletons absent.
+
+    Representative edges only connect a cluster when the bucket min is
+    itself a cluster member, so — unlike the pair path — this variant
+    needs HIGH-PRECISION buckets: the default 16 planes/band makes a
+    dissimilar collision ~2⁻¹⁶ per band (buckets ≈ pure near-dup sets),
+    while recall at cos ≥ 0.99 stays complete w.o.p.
+    (per-band p = 0.955¹⁶ ≈ 0.48, miss ≈ (1−0.48)¹⁶ ≈ 3e-5 per pair).
+    The pair path keeps coarse cheap buckets because any same-bucket
+    member pair is verified directly; here precision buys connectivity."""
+    from image_report_spark.operators.dedupe import bucket_candidate_edges
+    from image_report_spark.operators.graph import connected_components
+
+    banded = _embedding_banded(df, id_col, vec_col, n_planes_per_band, bands, seed)
+    if banded is None:
+        return df.sparkSession.createDataFrame([], f"{id_col} long, cluster_id long")
+    edges = bucket_candidate_edges(banded, ["band", "bucket"], id_col, carry=("_v",))
+    verified = (
+        edges.withColumn(
+            "cos_sim", F.round(cosine(F.col("_v_a"), F.col("_v_b")), round_to)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
     )
 
 

@@ -146,7 +146,8 @@ def test_minhash_candidates_no_all_pairs(spark, docs):
 
 def test_simhash_groups(spark, docs):
     groups = simhash_duplicates(docs).collect()
-    assert len(groups) == 1 and sorted(groups[0]["ids"]) == [0, 1]
+    assert len(groups) == 1
+    assert (groups[0]["canonical_id"], groups[0]["n"]) == (0, 2)
 
 
 def test_simhash_bitfold_matches_naive_loop(spark, docs):
