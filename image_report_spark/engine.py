@@ -51,6 +51,7 @@ from image_report_spark.operators.resolve import resolve_lww_grouped
 from image_report_spark.operators.skew import detect_hot_keys, salt_hot_keys
 from image_report_spark.plans.checkpoint import Checkpoint
 from image_report_spark.plans.icelite import IceliteTable, partition_expr, PART_COL
+from image_report_spark.plans.sink import TableSink
 from image_report_spark.sources.changelog import ChangeLogSource
 
 #: the transcript table schema (BASELINE.json:15, input_hint)
@@ -129,10 +130,14 @@ class CdcEngine:
         checkpoint_root: str,
         config: EngineConfig | None = None,
         dedup_window_batches: int = 4,
+        table: "TableSink | None" = None,
     ):
         self.spark = spark
         self.config = config or EngineConfig()
-        self.table = IceliteTable(spark, table_root)
+        # the engine writes through the narrow TableSink surface
+        # (plans/sink.py); IceliteTable is the jar-free default backend,
+        # IcebergSink the documented cluster swap
+        self.table: "TableSink" = table or IceliteTable(spark, table_root)
         self.checkpoint = Checkpoint(spark, checkpoint_root, dedup_window_batches)
 
     # ----------------------------------------------------------------- setup
@@ -145,10 +150,20 @@ class CdcEngine:
         schema: StructType = TRANSCRIPT_SCHEMA,
         config: EngineConfig | None = None,
         dedup_window_batches: int = 4,
+        table: "TableSink | None" = None,
     ) -> "CdcEngine":
         config = config or EngineConfig()
-        eng = cls(spark, table_root, checkpoint_root, config, dedup_window_batches)
+        eng = cls(
+            spark, table_root, checkpoint_root, config, dedup_window_batches,
+            table=table,
+        )
         if not eng.table.exists():
+            if table is not None:
+                raise FileNotFoundError(
+                    "injected TableSink has no table yet — create it via "
+                    "its own backend (e.g. IceliteTable.create / Iceberg "
+                    "CREATE TABLE) before CdcEngine.init"
+                )
             IceliteTable.create(
                 spark,
                 table_root,
@@ -159,9 +174,7 @@ class CdcEngine:
             # checksum column set is frozen at creation so partition digests
             # stay comparable across schema evolution (evolved columns are
             # verified by full-content replay diff, not by the rolling digest)
-            snap = eng.table.snapshot()
-            snap["checksum_columns"] = [f.name for f in schema.fields]
-            eng.table._write_snapshot(snap)
+            eng.table.set_checksum_columns([f.name for f in schema.fields])
         return eng
 
     # ------------------------------------------------------------ the merge

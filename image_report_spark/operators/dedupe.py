@@ -93,6 +93,25 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def hash_jaccard_pairs(
+    candidate_pairs: DataFrame,
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs by exact Jaccard over
+    PRECOMPUTED shingle-hash arrays ``sh_df`` = (id, _sh) — the verify
+    path a signature store uses so historical docs need no text."""
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    return (
+        candidate_pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sa"), F.col("_sb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,
@@ -104,14 +123,7 @@ def ngram_jaccard_pairs(
     """Verify candidate (id_a, id_b) pairs by exact n-gram Jaccard (over
     hashed shingles — identical value modulo 64-bit collisions)."""
     sh = with_shingle_hashes(df.select(id_col, text_col), text_col, n=n)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
-    return (
-        candidate_pairs.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("_sa"), F.col("_sb")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return hash_jaccard_pairs(candidate_pairs, sh, id_col, threshold)
 
 
 # -------------------------------------------------- bucket-pair primitives
@@ -320,21 +332,27 @@ def minhash_signature(col: Column, k: int = 32, seed: int = 13) -> Column:
     return minhash_from_hashes(shingle_hashes(col), k, seed)
 
 
-def minhash_banded(
+def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 32,
-    bands: int = 8,
     seed: int = 13,
 ) -> DataFrame:
-    """(id, band, band_hash) rows: each doc exploded to its ``bands`` LSH
-    band hashes (k/bands minhashes hashed together per band)."""
-    r = k // bands
-    sig = (
-        with_shingle_hashes(df.select(id_col, text_col), text_col)
-        .select(F.col(id_col), minhash_from_hashes(F.col("_sh"), k, seed).alias("_sig"))
+    """(id, _sh, _sig): distinct shingle hashes + k-minhash signature per
+    doc — the rows a signature STORE persists so later batches never
+    re-shingle historical documents (see operators.incremental)."""
+    return with_shingle_hashes(df.select(id_col, text_col), text_col).select(
+        F.col(id_col), F.col("_sh"),
+        minhash_from_hashes(F.col("_sh"), k, seed).alias("_sig"),
     )
+
+
+def explode_bands(sig_df: DataFrame, id_col: str = "doc_id", k: int = 32, bands: int = 8) -> DataFrame:
+    """(id, band, band_hash) rows from a (id, ..., _sig) frame: each doc
+    exploded to its ``bands`` LSH band hashes (k/bands minhashes hashed
+    together per band). Derived from the signature only — no text."""
+    r = k // bands
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -344,8 +362,22 @@ def minhash_banded(
             ))).alias("band_hash"),
         ),
     )
-    return sig.select(id_col, F.explode(band_arr).alias("bh")).select(
+    return sig_df.select(id_col, F.explode(band_arr).alias("bh")).select(
         id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """(id, band, band_hash) rows: shingle → sign → band in one pass."""
+    return explode_bands(
+        minhash_signatures(df, text_col, id_col, k, seed), id_col, k, bands
     )
 
 

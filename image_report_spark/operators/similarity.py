@@ -119,11 +119,21 @@ def knn_lsh_adaptive(
     """Multi-probe fallback: widen the probe radius until ≥ k candidates.
 
     One tiny aggregation computes the per-bucket histogram (≤ 2^n_planes
-    rows on the driver — metadata-sized), then the radius is chosen without
-    rescanning; the data-sized probe scan runs exactly once."""
+    rows on the driver — metadata-sized), then the radius is chosen
+    without rescanning. The bucketed frame is cached before the histogram
+    job, so the data-sized scan (+ the 2^n_planes dot products per row)
+    runs ONCE: the histogram job materializes the cache and the probe
+    reads ``InMemoryTableScan``, never the files again (pinned by
+    ``tests/test_training_ops.py::test_knn_lsh_adaptive_single_scan``).
+    At cluster scale the cached projection is (id, vec, bucket) in
+    MEMORY_AND_DISK — the same working set any two-pass consumer holds."""
+    from pyspark import StorageLevel
+
     dim = len(query_vec)
     qb = query_bucket(query_vec, n_planes, seed)
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hist = {
         int(r["_bucket"]): int(r["n"])
         for r in bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()

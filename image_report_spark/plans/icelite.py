@@ -171,7 +171,11 @@ class IceliteTable:
 
     # ------------------------------------------------------------ write path
     def write_partition_files(
-        self, df_physical: DataFrame, batch_id: int, pre_partitioned: bool = False
+        self,
+        df_physical: DataFrame,
+        batch_id: int,
+        pre_partitioned: bool = False,
+        sort_cols: list[str] | None = None,
     ) -> dict[int, list[str]]:
         """Write physical rows as one-or-more Parquet files per partition.
 
@@ -202,11 +206,12 @@ class IceliteTable:
         # prefix and the optimizer elides it (one less full sort per batch);
         # the extra 4-byte column in the files is RLE'd to nothing and
         # ignored by schema-projected reads
-        sort_cols = (
-            [PART_COL, "_salt", "conv_id", "turn_idx"]
-            if "_salt" in df_physical.columns
-            else [PART_COL, "conv_id", "turn_idx"]
-        )
+        if sort_cols is None:
+            sort_cols = (
+                [PART_COL, "_salt", "conv_id", "turn_idx"]
+                if "_salt" in df_physical.columns
+                else [PART_COL, "conv_id", "turn_idx"]
+            )
         (
             out_df.sortWithinPartitions(*sort_cols)
             .write.partitionBy("p")
@@ -337,6 +342,14 @@ class IceliteTable:
                 .drop("_hwm")
             )
         return df
+
+    def set_checksum_columns(self, cols: list[str]) -> None:
+        """Freeze the checksum column set (a table property in Iceberg
+        terms) — partition digests stay comparable across schema
+        evolution because evolved columns never enter the rolling digest."""
+        snap = self.snapshot()
+        snap["checksum_columns"] = list(cols)
+        self._write_snapshot(snap)
 
     # -------------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 1) -> int:

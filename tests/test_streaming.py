@@ -41,3 +41,55 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     q2 = stream_apply(eng, log, str(tmp_path / "scp2"), available_now=True)
     q2.awaitTermination(300)
     assert eng.current_table_digest() == digest
+
+
+def test_stream_evolved_schema_restart(spark, tmp_path):
+    """VERDICT r2 #7: schema evolution inside a running stream requires a
+    restart (file sources need a fixed read schema — documented in
+    streaming/tail.py). Pin that the documented procedure actually works:
+    stream the pre-evolution batches, stop, add evolved batches (late
+    ones carry `meta`), RESTART with the evolved schema on the SAME
+    stream checkpoint, drain — the final table equals the batch path."""
+    import os
+    import shutil
+
+    gen = ChangeLogGenerator(seed=42, n_convs=25, max_turns=5, n_batches=6,
+                             evolve=True)
+    staging = tmp_path / "all"
+    gen.write_log(str(staging))
+    files = sorted(os.listdir(str(staging)))
+    log = tmp_path / "log"
+    log.mkdir()
+    for f in files[:2]:  # pre-evolution producer era (no `tool` column)
+        shutil.copy(str(staging / f), str(log / f))
+
+    eng = CdcEngine.init(spark, str(tmp_path / "t"), str(tmp_path / "cp"),
+                         config=EngineConfig(num_buckets=8))
+    scp = str(tmp_path / "scp")
+    q = stream_apply(eng, str(log), scp, available_now=True)
+    q.awaitTermination(300)
+    assert eng.checkpoint.applied_batches() == [0, 1]
+
+    # the producer evolves: later batches add `tool` back and then `meta`
+    for f in files[2:]:
+        shutil.copy(str(staging / f), str(log / f))
+    evolved_schema = spark.read.parquet(str(staging / files[-1])).schema
+    assert "meta" in [f.name for f in evolved_schema.fields]
+
+    # restart on the SAME stream checkpoint with the evolved read schema:
+    # consumed files are not redelivered, new ones drain through the merge
+    q2 = stream_apply(eng, str(log), scp, schema=evolved_schema,
+                      available_now=True)
+    q2.awaitTermination(300)
+    assert eng.checkpoint.applied_batches() == [0, 1, 2, 3, 4, 5]
+
+    # batch-path oracle over the identical log
+    eng2 = CdcEngine.init(spark, str(tmp_path / "t2"), str(tmp_path / "cp2"),
+                          config=EngineConfig(num_buckets=8))
+    eng2.run(str(staging))
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "meta"]
+    got = (eng.read().toPandas()[cols]
+           .sort_values(cols[:2], kind="stable").reset_index(drop=True))
+    want = (eng2.read().toPandas()[cols]
+            .sort_values(cols[:2], kind="stable").reset_index(drop=True))
+    assert got.equals(want)

@@ -330,3 +330,26 @@ def test_frame_sampling(spark):
     frames = sample_frames(media, every_n=10)
     rows = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 3 for r in rows)  # 30 frames → 0,10,20
+
+
+def test_knn_lsh_adaptive_single_scan(spark, embeddings, tmp_path):
+    """VERDICT r2 #5: the adaptive probe must not scan the data twice.
+    With a parquet-backed input, the histogram job materializes the cached
+    bucketed frame; the returned probe plan reads InMemoryTableScan and
+    contains NO file scan."""
+    from image_report_spark.operators.similarity import knn_lsh_adaptive
+
+    df, vecs = embeddings
+    path = str(tmp_path / "emb.parquet")
+    df.write.parquet(path)
+    disk = spark.read.parquet(path)
+    q = [float(x) for x in vecs[0]]
+    res = knn_lsh_adaptive(disk.filter("vec_id != 0"), q, k=3, n_planes=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # everything after InMemoryRelation is the cache-DEFINITION subtree
+    # (it mentions the original FileScan); the probe path above it must
+    # read the cache, never the files
+    probe_side = plan.split("InMemoryRelation")[0]
+    assert "FileScan" not in probe_side and "Scan parquet" not in probe_side
+    assert [r.vec_id for r in res.collect()][0] == 7  # still the right answer
