@@ -102,6 +102,8 @@ def hash_jaccard_pairs(
     """Verify candidate (id_a, id_b) pairs by exact Jaccard over
     PRECOMPUTED shingle-hash arrays ``sh_df`` = (id, _sh) — the verify
     path a signature store uses so historical docs need no text."""
+    # both join sides read one materialization of the shingle arrays
+    sh_df = sh_df.localCheckpoint(eager=False)
     a = sh_df.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh_df.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     return (
@@ -154,8 +156,14 @@ def within_bucket_pairs(
     """
     w_rank = Window.partitionBy(*bucket_cols).orderBy(id_col)
     w_all = Window.partitionBy(*bucket_cols)
-    ranked = df.withColumn("_pos", F.row_number().over(w_rank)).withColumn(
-        "_bn", F.count(F.lit(1)).over(w_all)
+    # lazy localCheckpoint: both join sides read the SAME materialized
+    # ranked frame — without it, column pruning makes the two window
+    # subtrees differ, ReuseExchange misses, and the (expensive) upstream
+    # signature pipeline runs once per side (measured 2× on d2)
+    ranked = (
+        df.withColumn("_pos", F.row_number().over(w_rank))
+        .withColumn("_bn", F.count(F.lit(1)).over(w_all))
+        .localCheckpoint(eager=False)
     )
     span = F.col("_bn") - F.col("_pos")
     if max_pairs_per_member is not None:
@@ -254,7 +262,11 @@ def bucket_candidate_edges(
     Output columns: ``id_a < id_b`` plus ``<c>_a`` / ``<c>_b`` for carry.
     """
     w_all = Window.partitionBy(*bucket_cols)
-    sized = df.withColumn("_bn", F.count(F.lit(1)).over(w_all))
+    # one materialization feeds both branches (lazy localCheckpoint —
+    # otherwise the upstream signature pipeline runs once per branch)
+    sized = df.withColumn("_bn", F.count(F.lit(1)).over(w_all)).localCheckpoint(
+        eager=False
+    )
     small = within_bucket_pairs(
         sized.filter(F.col("_bn") <= exact_bucket_max).drop("_bn"),
         bucket_cols, id_col, carry=carry,
@@ -439,11 +451,17 @@ def minhash_dedup(
 
     Emits the full pair set (inherently O(cluster²) on a true duplicate
     cluster); for web-scale corpora prefer :func:`minhash_dedup_groups`
-    (linear cluster assignments) or pass ``max_pairs_per_member``."""
-    cands = minhash_lsh_candidates(
-        df, text_col, id_col, k, bands, max_pairs_per_member=max_pairs_per_member
-    )
-    return ngram_jaccard_pairs(df, cands, text_col, id_col, threshold=threshold)
+    (linear cluster assignments) or pass ``max_pairs_per_member``.
+
+    One shingle pass total: the signature frame is checkpointed and feeds
+    both the band candidates and the exact-Jaccard verify."""
+    sig = minhash_signatures(df, text_col, id_col, k).localCheckpoint(eager=False)
+    banded = explode_bands(sig, id_col, k, bands)
+    cands = within_bucket_pairs(
+        banded, ["band", "band_hash"], id_col,
+        max_pairs_per_member=max_pairs_per_member,
+    ).distinct()
+    return hash_jaccard_pairs(cands, sig, id_col, threshold)
 
 
 def minhash_dedup_groups(
@@ -472,9 +490,12 @@ def minhash_dedup_groups(
     cluster connects). Recall is complete with overwhelming probability
     at this threshold/seed; a miss on adversarial data is expected LSH
     variance, not an engine bug."""
-    banded = minhash_banded(df, text_col, id_col, k, bands, seed)
+    sig = minhash_signatures(df, text_col, id_col, k, seed).localCheckpoint(
+        eager=False
+    )
+    banded = explode_bands(sig, id_col, k, bands)
     edges = bucket_candidate_edges(banded, ["band", "band_hash"], id_col)
-    verified = ngram_jaccard_pairs(df, edges, text_col, id_col, threshold=threshold)
+    verified = hash_jaccard_pairs(edges, sig, id_col, threshold)
     comp = connected_components(verified.select("id_a", "id_b"))
     return comp.select(
         F.col("id").alias(id_col), F.col("component").alias("cluster_id")
