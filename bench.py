@@ -106,14 +106,23 @@ def bench_cdc(
     try:
         # untimed JIT/codegen warm-up: a small throwaway apply so the first
         # timed batch doesn't pay JVM compilation (identical for every
-        # parallelism level — removes run-order bias from the comparison)
+        # parallelism level — removes run-order bias from the comparison).
+        # It runs the SAME engine config as the timed apply (bucket count,
+        # shuffle partitions) across TWO micro-batches, so every timed code
+        # path — 128-way partitioned write, partition-stats read-back,
+        # dedup-window carry into batch N+1 — is JIT-compiled before the
+        # clock starts; a 16-bucket single-batch warmup left ~5 s of
+        # first-iteration compilation inside timed batch 0 (measured).
+        buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "128"))
         warm_log = os.path.join(scratch, "warmup-log")
-        write_bench_log(warm_log, 50_000, n_batches=1, seed=seed + 999)
+        write_bench_log(warm_log, 100_000, n_batches=2, seed=seed + 999)
         warm = CdcEngine.init(
             spark,
             os.path.join(scratch, "warmup-table"),
             os.path.join(scratch, "warmup-checkpoint"),
-            config=EngineConfig(num_buckets=16),
+            config=EngineConfig(
+                num_buckets=buckets, shuffle_partitions=max(cpus * 2, 8)
+            ),
         )
         warm.run(warm_log)
 
@@ -128,7 +137,6 @@ def bench_cdc(
         # local[32] run the identical job (the scaling protocol's premise);
         # 128 buckets also keeps the merge stage's available parallelism
         # well above either core count
-        buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "128"))
         eng = CdcEngine.init(
             spark,
             os.path.join(scratch, "table"),

@@ -88,20 +88,25 @@ class Checkpoint:
         return self.spark.read.parquet(*paths).select("lsn")
 
     # ---------------------------------------------------------------- commit
-    def commit_batch(
+    def write_seen_lsns(self, batch_id: int, seen_lsns: DataFrame) -> None:
+        """Persist the batch's dedup-window LSN set (executor-side Parquet,
+        never collected — the set scales with batch size). Independent of
+        the snapshot commit, so the engine overlaps it with the
+        partition-stats read-back on a driver I/O thread; the commit marker
+        (``mark_committed``) is only written after BOTH complete, so crash
+        semantics are unchanged: marker exists ⇒ dedup state is on disk."""
+        rp = os.path.join(self.recent_dir, f"batch-{batch_id:05d}.parquet")
+        seen_lsns.select("lsn").write.mode("overwrite").parquet(rp)
+
+    def mark_committed(
         self,
         batch_id: int,
         ledger: dict,
         snapshot_id: int,
-        seen_lsns: DataFrame,
         max_lsn_seen_batch: int,
     ) -> None:
-        """Persist dedup state then the commit marker (marker last).
-
-        ``seen_lsns`` is written executor-side (a Parquet directory, never
-        collected to the driver — the dedup set scales with batch size)."""
-        rp = os.path.join(self.recent_dir, f"batch-{batch_id:05d}.parquet")
-        seen_lsns.select("lsn").write.mode("overwrite").parquet(rp)
+        """Write the atomic commit marker (must be LAST: its existence
+        asserts the snapshot AND the dedup state are both durable)."""
         prev = self.applied_batches()
         prev_max = int(self.batch_record(prev[-1])["max_lsn_seen"]) if prev else -1
         rec = {
@@ -115,3 +120,17 @@ class Checkpoint:
         with open(tmp, "w") as f:
             json.dump(rec, f, indent=1, sort_keys=True)
         os.replace(tmp, path)  # atomic marker: exists ⇒ batch fully committed
+
+    def commit_batch(
+        self,
+        batch_id: int,
+        ledger: dict,
+        snapshot_id: int,
+        seen_lsns: DataFrame,
+        max_lsn_seen_batch: int,
+    ) -> None:
+        """Persist dedup state then the commit marker (marker last) —
+        the serial composition of ``write_seen_lsns`` + ``mark_committed``
+        for paths with nothing to overlap (empty batches, tests)."""
+        self.write_seen_lsns(batch_id, seen_lsns)
+        self.mark_committed(batch_id, ledger, snapshot_id, max_lsn_seen_batch)
