@@ -80,7 +80,9 @@ _FINAL_TABLE_SQL = f"""
 """
 
 
-def q_cdc_replay_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cdc_replay_final_table(
+    spark: SparkSession, sf_dir: str, write_mode: str = "cow"
+) -> DataFrame:
     """THE flagship: replay the derived change stream through the real
     engine (Icelite table, exactly-once checkpoint, COW merge) in two
     micro-batches, then read the final table back."""
@@ -95,10 +97,14 @@ def q_cdc_replay_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             os.path.join(scratch, "table"),
             os.path.join(scratch, "checkpoint"),
-            config=EngineConfig(num_buckets=16),
+            config=EngineConfig(num_buckets=16, write_mode=write_mode),
         )
         eng.apply_batch(changes.filter(F.col("lsn") <= mid), 0)
         eng.apply_batch(changes.filter(F.col("lsn") > mid), 1)
+        if write_mode == "mor":
+            # fold the pending delta files into base: the read below then
+            # exercises write->delta->compact end-to-end
+            eng.compact()
         out = eng.read().select(
             "conv_id", "turn_idx", "role", "text", F.unix_micros("ts").alias("ts_us")
         )
@@ -756,9 +762,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_replay_final_table(spark, "/root/testdata/sf0.001")
 
 
+def q_cdc_mor_replay_final_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay through the merge-on-read path (write_mode='mor':
+    per-partition delta files, classification vs a keys-only incumbent
+    scan, then compact() folds deltas into base) — same oracle as the COW
+    replay: the physical merge strategy must not change query results."""
+    return q_cdc_replay_final_table(spark, sf_dir, write_mode="mor")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_table": q_cdc_replay_final_table,
+        "cdc_mor_replay_final_table": q_cdc_mor_replay_final_table,
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_dedup_replays": q_cdc_dedup_replays,
         "q1_pricing_summary": q1_pricing_summary,
@@ -952,6 +967,7 @@ def _lang_fold_sql(ws: str) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_table": _FINAL_TABLE_SQL,
+        "cdc_mor_replay_final_table": _FINAL_TABLE_SQL,
         "cdc_lww_window": _FINAL_TABLE_SQL,
         "cdc_dedup_replays": f"""
             WITH changes AS ({_CHANGES_SQL})

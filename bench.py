@@ -214,13 +214,19 @@ def main() -> int:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # CDC first, queries second: the apply is ~60% of the suite and the
+    # most memory-bandwidth-bound leg, so it gets the freshest host state
+    # (this VM throttles progressively under sustained parallel load —
+    # BENCH/BASELINE.md round 3); per-leg timings are independent, so the
+    # ordering changes no individual measurement's meaning
     q_times: dict[str, float] = {}
     cdc: dict = {}
-    if not args.cdc_only:
-        q_times = bench_queries(spark, sf_dir)
     if not args.queries_only:
         cdc = bench_cdc(spark, args.events, cpus, n_batches=args.batches,
                         log_dir=args.log_dir)
+    if not args.cdc_only:
+        q_times = bench_queries(spark, sf_dir)
+    if cdc:
         q_times["cdc_apply"] = cdc["apply_sec"]
 
     total = round(sum(q_times.values()), 3)

@@ -67,6 +67,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     sp.add_argument("--buckets", type=int, default=32)
     sp.add_argument("--grouped-resolve", action="store_true")
     sp.add_argument("--dedup-window", type=int, default=4)
+    sp.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                    help="cow rewrites touched partitions; mor appends "
+                         "delta files and defers the merge to read time "
+                         "(fold them back with the `compact` subcommand)")
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--partitions", type=int, nargs="*", default=None,
+                    help="compact only these bucket ids (default: all dirty)")
 
     sp = sub.add_parser("replay-verify")
     sp.add_argument("--table", required=True)
@@ -162,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             update_missing=args.update_missing,
             metrics=args.metrics,
             grouped_resolve=args.grouped_resolve,
+            write_mode=args.write_mode,
         )
         eng = CdcEngine.init(spark, args.table, args.checkpoint, config=cfg,
                              dedup_window_batches=args.dedup_window)
@@ -196,6 +207,11 @@ def main(argv: list[str] | None = None) -> int:
         df = t.changes_between(args.from_snapshot, args.to_snapshot)
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
+        return 0
+
+    if args.cmd == "compact":
+        eng = CdcEngine(spark, args.table, args.checkpoint)
+        print(json.dumps(eng.compact(partitions=args.partitions)))
         return 0
 
     if args.cmd == "expire":

@@ -131,11 +131,39 @@ class EngineConfig:
     #: reference docs/report-schema-v2.md:96-105)
     format_version: int = 1
 
+    #: physical merge strategy. "cow" (copy-on-write, default): a touched
+    #: partition is fully rewritten each batch — reads stay scan-only, the
+    #: right trade for read-heavy tables. "mor" (merge-on-read): the batch
+    #: writes only resolved DELTA files per partition and defers the merge
+    #: to read time / compaction — at 100 TB an update-heavy batch touching
+    #: a few rows per partition writes KBs instead of rewriting TBs (the
+    #: Iceberg-v2 / Hudi trade). Ledger semantics are IDENTICAL in both
+    #: modes: MOR classifies its delta winners against the incumbent via a
+    #: keys-only column-pruned scan (conv_id, turn_idx, ts, lsn, op — a few
+    #: %% of table bytes when payloads are text) semi-joined down to the
+    #: delta's keys, so applied/superseded/deduped/ins/upd/del and the
+    #: conservation equations match copy-on-write batch for batch.
+    write_mode: str = "cow"
+
     selected_metrics: set[str] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
         if self.on_error not in ("quarantine", "fail"):
             raise ValueError(f"on_error must be quarantine|fail, got {self.on_error!r}")
+        if self.write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be cow|mor, got {self.write_mode!r}")
+        if self.write_mode == "mor" and self.grouped_resolve:
+            raise ValueError(
+                "write_mode='mor' supports the window resolver only "
+                "(grouped_resolve pre-drops events the MOR ledger "
+                "classification would need to re-attribute)"
+            )
+        if self.write_mode == "mor" and self.update_missing == "quarantine":
+            raise ValueError(
+                "write_mode='mor' requires update_missing='upsert' (the "
+                "missing-key probe reads base files only and would not see "
+                "pending delta files)"
+            )
         if self.update_missing not in ("upsert", "quarantine"):
             raise ValueError(
                 f"update_missing must be upsert|quarantine, got {self.update_missing!r}"

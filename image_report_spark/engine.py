@@ -324,6 +324,12 @@ class CdcEngine:
                 pre_dropped_superseded = -pre_dropped_dups  # adjusted below
                 events = resolved
 
+            if cfg.write_mode == "mor":
+                return self._mor_tail(
+                    events, evolved, payload_cols, num_buckets, hot_buckets,
+                    touched, old_entries, batch_id, rpt, _tick, t0,
+                )
+
             # 4+5. FUSED resolve + COW merge: one wide shuffle on
             # (bucket, salt); both dedup windows, the LWW ranking, the
             # per-key liveness aggregate and the final write all run inside
@@ -558,6 +564,330 @@ class CdcEngine:
                 events_pinned.unpersist()
         return rpt
 
+    # --------------------------------------------------------- merge-on-read
+    def _mor_tail(
+        self,
+        events: DataFrame,
+        evolved: StructType,
+        payload_cols: list[str],
+        num_buckets: int,
+        hot_buckets: list[int],
+        touched: list[int],
+        old_entries: dict,
+        batch_id: int,
+        rpt: BatchReport,
+        _tick,
+        t0: float,
+    ) -> BatchReport:
+        """Merge-on-read write path (``EngineConfig.write_mode='mor'``).
+
+        Instead of rewriting every touched partition (COW), the batch is
+        resolved WITHIN ITSELF by the same LWW window and the winners are
+        written as per-partition DELTA files; the merge against the
+        incumbent is deferred to read time (``IceliteTable.read`` resolves
+        base ∪ deltas) or to ``compact()``. At 100 TB an update-heavy batch
+        touching a few rows per partition writes kilobytes instead of
+        rewriting terabytes — the Iceberg-v2 / Hudi trade, re-expressed on
+        the engine's own table format.
+
+        The ledger still matches COW batch-for-batch: delta winners are
+        classified against the incumbent via a KEYS-ONLY column-pruned scan
+        (conv_id, turn_idx, ts, _lsn, _op) of the touched partitions'
+        base+prior-delta files, semi-joined down to the delta's keys before
+        the resolve window — so the classification job reads a few percent
+        of the table bytes (text payloads never move) and shuffles only
+        rows whose keys the batch touched. Partition checksums and the
+        table digest are undefined (None) while deltas are pending; they
+        are restored by ``compact()``, after which the digest EQUALS the
+        COW digest for the same log (asserted in tests/test_mor.py).
+        """
+        cfg = self.config
+        from image_report_spark.plans.icelite import physical_schema
+
+        salt = (
+            F.when(
+                F.col(PART_COL).isin(hot_buckets),
+                F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(cfg.skew_salt)).cast("int"),
+            ).otherwise(F.lit(0))
+            if hot_buckets
+            else F.lit(0)
+        )
+        evt = (
+            events.withColumn(PART_COL, partition_expr(num_buckets))
+            .select(
+                F.col(PART_COL),
+                *[F.col(c) for c in payload_cols],
+                F.col("lsn").alias("_lsn"),
+                F.col("op").alias("_op"),
+            )
+            .withColumn("_salt", salt)
+        )
+        repart_cols = [F.col(PART_COL)] + ([F.col("_salt")] if hot_buckets else [])
+        # same single-sort window family as the COW merge, minus the
+        # incumbent union: LWW rank + same-LSN replay adjacency in one spec
+        keyw = Window.partitionBy(PART_COL, "_salt", "conv_id", "turn_idx")
+        order = keyw.orderBy(
+            F.col("ts").desc_nulls_last(), F.col("_lsn").desc_nulls_last()
+        )
+        obs = Observation(f"mor-batch-{batch_id}")
+        ranked = (
+            evt.repartition(*repart_cols)
+            .withColumn("_rn", F.row_number().over(order))
+            .withColumn(
+                "_replay",
+                F.when(
+                    F.lag("_lsn").over(order).eqNullSafe(F.col("_lsn")), 1
+                ).otherwise(0),
+            )
+        )
+        ranked_obs = ranked.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.when(F.col("_replay") == 1, 1).otherwise(0)).alias("dups_b"),
+            F.sum(
+                F.when((F.col("_replay") == 0) & (F.col("_rn") > 1), 1).otherwise(0)
+            ).alias("sup_b"),
+            F.max("_lsn").alias("mx"),
+        )
+        winners = ranked_obs.filter(F.col("_rn") == 1)
+        phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
+        _tick("plan")
+        files = self.table.write_partition_files(
+            winners.select(*(phys_cols + ["_salt"])), batch_id, pre_partitioned=True
+        )
+        stats = obs.get
+        _tick("write+delta")
+
+        lsn_pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            lsn_fut = lsn_pool.submit(
+                self.checkpoint.write_seen_lsns, batch_id, events.select("lsn")
+            )
+
+            # classification + per-partition delta stats: one narrow job
+            key_cols = ["conv_id", "turn_idx"]
+            narrow = [PART_COL] + key_cols + ["ts", "_lsn", "_op"]
+            written_paths = [
+                os.path.join(self.table.root, f) for fl in files.values() for f in fl
+            ]
+            dback = (
+                self.spark.read.schema(physical_schema(evolved))
+                .parquet(*written_paths)
+                .select(*narrow)
+            )
+            inc_files = []
+            for p in touched:
+                e = old_entries.get(p)
+                if e:
+                    inc_files.extend(e["files"])
+                    inc_files.extend(e.get("delta_files") or [])
+            if inc_files:
+                iw = Window.partitionBy(PART_COL, *key_cols).orderBy(
+                    F.col("ts").desc_nulls_last(), F.col("_lsn").desc_nulls_last()
+                )
+                inc1 = (
+                    self.spark.read.schema(physical_schema(evolved))
+                    .parquet(*[os.path.join(self.table.root, f) for f in inc_files])
+                    .select(*narrow)
+                    # keys-only prune: incumbent rows whose key the batch
+                    # didn't touch never reach the resolve window
+                    .join(
+                        F.broadcast(dback.select(*key_cols).distinct()),
+                        key_cols,
+                        "left_semi",
+                    )
+                    .withColumn("_rn", F.row_number().over(iw))
+                    .filter(F.col("_rn") == 1)
+                    .select(
+                        PART_COL,
+                        *key_cols,
+                        F.col("ts").alias("_i_ts"),
+                        F.col("_lsn").alias("_i_lsn"),
+                        (F.col("_op") != "D").cast("int").alias("_i_live"),
+                    )
+                )
+                j = dback.join(F.broadcast(inc1), [PART_COL] + key_cols, "left")
+            else:
+                j = (
+                    dback.withColumn("_i_ts", F.lit(None).cast("timestamp"))
+                    .withColumn("_i_lsn", F.lit(None).cast("long"))
+                    .withColumn("_i_live", F.lit(None).cast("int"))
+                )
+            # the delta winner beats the incumbent exactly when it would
+            # have won the COW union window: ts desc nulls last, lsn desc,
+            # incumbent wins exact ties
+            has_inc = F.col("_i_lsn").isNotNull()
+            ts_gt = F.col("ts").isNotNull() & (
+                F.col("_i_ts").isNull() | (F.col("ts") > F.col("_i_ts"))
+            )
+            beats = (
+                (~has_inc)
+                | ts_gt
+                | (F.col("ts").eqNullSafe(F.col("_i_ts")) & (F.col("_lsn") > F.col("_i_lsn")))
+            )
+            replay_vb = has_inc & (F.col("_lsn") == F.col("_i_lsn"))
+            upsert = F.col("_op").isin("I", "U")
+            live = F.col("_i_live") == 1
+            c = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+            pstats = (
+                j.groupBy(PART_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.max("_lsn").alias("max_lsn"),
+                    c(beats).alias("applied"),
+                    c(~beats & replay_vb).alias("dups_vb"),
+                    c(~beats & ~replay_vb).alias("sup_vb"),
+                    c(beats & upsert & ~live.eqNullSafe(F.lit(True))).alias("ins"),
+                    c(beats & upsert & live).alias("upd"),
+                    c(beats & (F.col("_op") == "D") & live).alias("del"),
+                )
+                .collect()
+            )
+            _tick("classify")
+
+            def s(col: str) -> int:
+                return sum(int(r[col] or 0) for r in pstats)
+
+            rpt.applied = s("applied")
+            rpt.inserts = s("ins")
+            rpt.updates = s("upd")
+            rpt.deletes = s("del")
+            rpt.superseded = int(stats["sup_b"] or 0) + s("sup_vb")
+            rpt.deduped = (
+                rpt.events_read - rpt.quarantined - rpt.applied - rpt.superseded
+            )
+            rpt.rows_before = sum(e["live_rows"] for e in old_entries.values())
+            rpt.rows_after = rpt.rows_before + rpt.inserts - rpt.deletes
+            max_lsn = stats["mx"]
+
+            replaced = {}
+            for r in pstats:
+                p = int(r[PART_COL])
+                old = old_entries.get(p)
+                old_lal = old.get("last_applied_lsn") if old else None
+                new_lal = int(r["max_lsn"]) if r["max_lsn"] is not None else None
+                entry = {
+                    "files": list(old["files"]) if old else [],
+                    "delta_files": (list(old.get("delta_files") or []) if old else [])
+                    + files.get(p, []),
+                    "row_count": (int(old["row_count"]) if old else 0) + int(r["rows"]),
+                    "live_rows": (int(old["live_rows"]) if old else 0)
+                    + int(r["ins"] or 0)
+                    - int(r["del"] or 0),
+                    # checksum/digest undefined while deltas are pending;
+                    # compact() restores them (and the table digest)
+                    "checksum": None,
+                    "last_applied_lsn": max(
+                        (v for v in (old_lal, new_lal) if v is not None),
+                        default=None,
+                    ),
+                }
+                replaced[p] = entry
+            rpt.table_digest = None
+            rpt.wall_ms = int((time.monotonic() - t0) * 1000)
+            ledger = rpt.ledger(cfg.selected_metrics)
+            _tick("ledger")
+            sid = self.table.commit(replaced, evolved, batch_id, ledger, None)
+            rpt.snapshot_id = sid
+            lsn_fut.result()  # dedup state durable before the marker
+            self.checkpoint.mark_committed(
+                batch_id, ledger, sid, max_lsn if max_lsn is not None else -1
+            )
+            _tick("commit+seen")
+        finally:
+            lsn_pool.shutdown(wait=True)
+        return rpt
+
+    def compact(self, partitions: list[int] | None = None) -> dict:
+        """Fold pending merge-on-read delta files back into base files.
+
+        Reads each dirty partition MOR-resolved (base ∪ deltas through the
+        LWW window), rewrites it as fresh base files, recomputes the
+        partition's live-row checksum exactly as the COW write path does,
+        and commits a snapshot with ``delta_files=[]``. After compacting
+        every dirty partition, the table digest is defined again and EQUALS
+        the digest a COW apply of the same log produces (same winning rows,
+        same canonical checksum — asserted in tests/test_mor.py). Clean
+        partitions are carried forward metadata-only, so compaction cost is
+        O(dirty partitions), schedulable per-partition on a cluster."""
+        snap = self.table.snapshot()
+        logical = self.table.logical_schema(snap)
+        checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+        dirty = [
+            e
+            for e in snap["manifest"]
+            if (e.get("delta_files") or [])
+            and (partitions is None or e["partition"] in partitions)
+        ]
+        if not dirty:
+            return {
+                "compacted_partitions": 0,
+                "snapshot_id": snap["snapshot_id"],
+                "table_digest": snap.get("table_digest"),
+            }
+        parts = [e["partition"] for e in dirty]
+        resolved = self.table.read(partitions=parts, with_lineage=True)
+        label = f"c{snap['snapshot_id']:05d}"
+        files = self.table.write_partition_files(
+            resolved, batch_id=snap["snapshot_id"], dir_label=label
+        )
+        from image_report_spark.plans.icelite import physical_schema
+
+        written_paths = [
+            os.path.join(self.table.root, f) for fl in files.values() for f in fl
+        ]
+        wdf = self.spark.read.schema(physical_schema(logical)).parquet(*written_paths)
+        live_hash = F.when(
+            F.col("_op") != "D",
+            F.xxhash64(F.concat_ws(SEP, *canonical_cols(wdf, checksum_cols))),
+        )
+        part_rows = (
+            wdf.withColumn("h", live_hash)
+            .groupBy(PART_COL)
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_rows"),
+                F.max("_lsn").alias("last_applied_lsn"),
+                F.lpad(F.hex(F.coalesce(F.expr("bit_xor(h)"), F.lit(0))), 16, "0").alias("checksum"),
+            )
+            .collect()
+        )
+        replaced = {}
+        for r in part_rows:
+            p = int(r[PART_COL])
+            replaced[p] = {
+                "files": files.get(p, []),
+                "delta_files": [],
+                "row_count": int(r["row_count"]),
+                "live_rows": int(r["live_rows"]),
+                "checksum": r["checksum"],
+                "last_applied_lsn": int(r["last_applied_lsn"])
+                if r["last_applied_lsn"] is not None
+                else None,
+            }
+        # digest is defined again only once NO entry still has a pending
+        # delta or an undefined checksum
+        all_entries = {e["partition"]: e for e in snap["manifest"]}
+        all_entries.update(replaced)
+        digest = None
+        if all(
+            e.get("checksum") is not None and not (e.get("delta_files") or [])
+            for e in all_entries.values()
+        ):
+            digest = table_digest(
+                [
+                    (p, e["live_rows"], e["checksum"])
+                    for p, e in all_entries.items()
+                ]
+            )
+        ledger = {"op": "compaction", "compacted_partitions": len(parts)}
+        sid = self.table.commit(replaced, logical, None, ledger, digest)
+        return {
+            "compacted_partitions": len(parts),
+            "snapshot_id": sid,
+            "table_digest": digest,
+        }
+
     # ------------------------------------------------------------------ run
     def run(self, log_dir: str, max_batches: int | None = None) -> list[BatchReport]:
         """Tail the log directory, applying unapplied batches in order
@@ -634,6 +964,15 @@ class CdcEngine:
         files = []
         for e in snap["manifest"]:
             if e["partition"] in partitions:
+                if e.get("delta_files"):
+                    # a COW merge's union window would mis-attribute
+                    # incumbent liveness over unresolved delta rows —
+                    # refuse rather than silently corrupt the ledger
+                    raise RuntimeError(
+                        f"partition {e['partition']} has pending merge-on-read "
+                        "delta files; run compact() before applying "
+                        "copy-on-write batches to this table"
+                    )
                 files.extend(os.path.join(self.table.root, f) for f in e["files"])
         if not files:
             return self.spark.createDataFrame([], phys)

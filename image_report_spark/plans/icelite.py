@@ -43,7 +43,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
@@ -155,16 +155,53 @@ class IceliteTable:
         snap = self.snapshot(snapshot_id)
         logical = self.logical_schema(snap)
         phys = physical_schema(logical)
-        files: list[str] = []
+        clean_files: list[str] = []
+        dirty_base: list[str] = []
+        dirty_delta: list[str] = []
         for e in snap["manifest"]:
             if partitions is not None and e["partition"] not in partitions:
                 continue
-            files.extend(os.path.join(self.root, f) for f in e["files"])
-        if not files:
+            deltas = e.get("delta_files") or []
+            if deltas:
+                dirty_base.extend(os.path.join(self.root, f) for f in e["files"])
+                dirty_delta.extend(os.path.join(self.root, f) for f in deltas)
+            else:
+                clean_files.extend(os.path.join(self.root, f) for f in e["files"])
+        parts_df: list[DataFrame] = []
+        if clean_files:
+            # explicit schema = projection over evolved files (missing → NULL)
+            parts_df.append(self.spark.read.schema(phys).parquet(*clean_files))
+        if dirty_delta:
+            # merge-on-read: partitions with pending delta files resolve at
+            # scan time with the SAME LWW ordering as the engine's merge
+            # window (ts desc nulls last, lsn desc, base wins exact ties —
+            # engine.py order spec); the window shuffles ONLY the dirty
+            # partitions, clean partitions stay scan-only
+            base_df = (
+                self.spark.read.schema(phys).parquet(*dirty_base)
+                if dirty_base
+                else self.spark.createDataFrame([], phys)
+            )
+            delta_df = self.spark.read.schema(phys).parquet(*dirty_delta)
+            u = base_df.withColumn("_d", F.lit(0)).unionByName(
+                delta_df.withColumn("_d", F.lit(1))
+            )
+            w = Window.partitionBy(PART_COL, "conv_id", "turn_idx").orderBy(
+                F.col("ts").desc_nulls_last(),
+                F.col("_lsn").desc_nulls_last(),
+                F.col("_d").asc(),
+            )
+            parts_df.append(
+                u.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_d")
+            )
+        if not parts_df:
             df = self.spark.createDataFrame([], phys)
         else:
-            # explicit schema = projection over evolved files (missing → NULL)
-            df = self.spark.read.schema(phys).parquet(*files)
+            df = parts_df[0]
+            for d in parts_df[1:]:
+                df = df.unionByName(d)
         if not with_lineage:
             df = df.filter(F.col("_op") != F.lit("D")).drop("_lsn", "_op", PART_COL)
         return df
@@ -176,6 +213,7 @@ class IceliteTable:
         batch_id: int,
         pre_partitioned: bool = False,
         sort_cols: list[str] | None = None,
+        dir_label: str | None = None,
     ) -> dict[int, list[str]]:
         """Write physical rows as one-or-more Parquet files per partition.
 
@@ -197,7 +235,8 @@ class IceliteTable:
         # manifest pointing at mixed old/new files); orphans from a failed
         # attempt are reclaimed by expire_snapshots()
         attempt = uuid.uuid4().hex[:8]
-        staging = os.path.join(self.root, "tmp", f"b{batch_id}-{attempt}")
+        label = dir_label or f"b{batch_id:05d}"
+        staging = os.path.join(self.root, "tmp", f"{label}-{attempt}")
         out_df = df_physical.withColumn("p", F.col(PART_COL))
         if not pre_partitioned:
             out_df = out_df.repartition(F.col(PART_COL))
@@ -218,7 +257,7 @@ class IceliteTable:
             .mode("overwrite")
             .parquet(staging)
         )
-        batch_dir = os.path.join(self.data_dir, f"b{batch_id:05d}")
+        batch_dir = os.path.join(self.data_dir, label)
         os.makedirs(batch_dir, exist_ok=True)
         out: dict[int, list[str]] = {}
         for name in sorted(os.listdir(staging)):
@@ -231,7 +270,7 @@ class IceliteTable:
             rels = []
             for i, src in enumerate(srcs):
                 rel = os.path.join(
-                    "data", f"b{batch_id:05d}", f"p{part:05d}-{i:04d}-{attempt}.parquet"
+                    "data", label, f"p{part:05d}-{i:04d}-{attempt}.parquet"
                 )
                 os.replace(os.path.join(staging, name, src), os.path.join(self.root, rel))
                 rels.append(rel)
@@ -317,7 +356,11 @@ class IceliteTable:
         changed_parts = []
         for e in new["manifest"]:
             o = old_entries.get(e["partition"])
-            if o is None or o["files"] != e["files"]:
+            if (
+                o is None
+                or o["files"] != e["files"]
+                or (o.get("delta_files") or []) != (e.get("delta_files") or [])
+            ):
                 changed_parts.append(e["partition"])
         df = self.read(
             snapshot_id=to_snapshot, partitions=changed_parts, with_lineage=True
@@ -362,6 +405,7 @@ class IceliteTable:
         for sid in keep:
             for e in self.snapshot(sid)["manifest"]:
                 referenced.update(e["files"])
+                referenced.update(e.get("delta_files") or [])
         deleted = 0
         for dirpath, _, files in os.walk(self.data_dir):
             for f in files:

@@ -95,6 +95,11 @@ class IcebergSink:
     * ``expire_snapshots``    → ``CALL catalog.system.expire_snapshots``.
     * ``set_checksum_columns``→ a table property
       (``ALTER TABLE ... SET TBLPROPERTIES``).
+    * merge-on-read mode (``EngineConfig.write_mode='mor'``) → Iceberg v2
+      row-level deletes: delta files map onto equality-delete + data file
+      pairs (``write.merge.mode=merge-on-read``), ``CdcEngine.compact()``
+      onto ``CALL catalog.system.rewrite_data_files`` /
+      ``rewrite_position_delete_files``.
 
     Construction probes the classpath and raises ``RuntimeError`` when
     the runtime is missing, so a misconfigured cluster fails at setup,
