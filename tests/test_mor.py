@@ -165,6 +165,19 @@ def test_compacted_read_is_scan_only(spark, tmp_path):
     assert "Window" not in clean_plan  # clean partitions are scan-only
 
 
+def test_expire_snapshots_retains_referenced_delta_files(spark, tmp_path):
+    gen = ChangeLogGenerator(n_convs=10, max_turns=4, n_batches=2, seed=13)
+    log_dir = str(tmp_path / "log")
+    gen.write_log(log_dir)
+    mor = _mk(spark, tmp_path, "mor")
+    mor.run(log_dir)
+    before = _sorted_read(mor)
+    # keep only the newest snapshot: batch-0's delta files are still
+    # referenced by the current manifest and must survive the sweep
+    mor.table.expire_snapshots(keep_last=1)
+    pd.testing.assert_frame_equal(_sorted_read(mor), before)
+
+
 def test_mor_changes_between_sees_delta_commits(spark, tmp_path):
     gen = ChangeLogGenerator(n_convs=10, max_turns=4, n_batches=2, seed=11)
     log_dir = str(tmp_path / "log")
