@@ -93,3 +93,28 @@ def test_stream_evolved_schema_restart(spark, tmp_path):
     want = (eng2.read().toPandas()[cols]
             .sort_values(cols[:2], kind="stable").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_stream_apply_mor_matches_oracle(spark, tmp_path):
+    """Streaming tail composed with the merge-on-read write path: each
+    micro-batch lands as delta files; the resolved read equals the oracle
+    and compaction restores a defined digest."""
+    gen = ChangeLogGenerator(seed=43, n_convs=20, max_turns=5, n_batches=3,
+                             dup_frac=0.02, late_frac=0.1)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    eng = CdcEngine.init(spark, str(tmp_path / "t"), str(tmp_path / "cp"),
+                         config=EngineConfig(num_buckets=8, write_mode="mor"))
+    q = stream_apply(eng, log, str(tmp_path / "scp"), available_now=True)
+    q.awaitTermination(300)
+    expected = apply_oracle(gen.events())
+    got = (eng.read().toPandas()
+           .sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True))
+    assert len(got) == len(expected)
+    assert list(got["text"]) == list(expected["text"])
+    assert eng.checkpoint.applied_batches() == [0, 1, 2]
+    out = eng.compact()
+    assert out["table_digest"] is not None
+    after = (eng.read().toPandas()
+             .sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True))
+    assert list(after["text"]) == list(expected["text"])
