@@ -145,6 +145,18 @@ class EngineConfig:
     #: conservation equations match copy-on-write batch for batch.
     write_mode: str = "cow"
 
+    #: MOR classification join strategy gate: when the batch's VALID event
+    #: count (an upper bound on its distinct key count, free from the
+    #: bucket pre-pass) is at or below this, the delta key set and the
+    #: pruned incumbent are broadcast (tiny batches classify with zero
+    #: wide shuffles); above it the classification falls back to a
+    #: shuffled semi-join + sort-merge join — a 10–100 M-event initial
+    #: load must degrade to a shuffle, not hit the 8 GB broadcast /
+    #: driver-memory wall. 2 M keys ≈ 100–150 MB broadcast of
+    #: (conv_id, turn_idx) rows — comfortably inside executor memory at
+    #: either scale.
+    mor_broadcast_key_limit: int = 2_000_000
+
     selected_metrics: set[str] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -170,4 +182,6 @@ class EngineConfig:
             )
         if self.num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
+        if self.mor_broadcast_key_limit < 0:
+            raise ValueError("mor_broadcast_key_limit must be >= 0")
         self.selected_metrics = get_selected_metrics(self.metrics)

@@ -123,6 +123,58 @@ class BatchReport:
         )
 
 
+def build_mor_classification(
+    dback: DataFrame,
+    inc_scan: DataFrame,
+    key_cols: list[str],
+    broadcast_keys: bool,
+) -> DataFrame:
+    """Join the batch's delta winners against the incumbent's latest row
+    per key, for MOR ledger classification (``_mor_tail``).
+
+    Two regimes, chosen by the caller from the batch's size:
+
+    * ``broadcast_keys=True`` (small batch): the delta's distinct keys are
+      BROADCAST into the incumbent keys-only scan's semi-join, and the
+      pruned one-row-per-key incumbent is BROADCAST back into the outer
+      join — the incumbent never wide-shuffles and the classification
+      adds zero Exchanges over the scan.
+    * ``broadcast_keys=False`` (10–100 M-event batch / initial load): the
+      same joins run SHUFFLED (sort-merge / shuffled-hash under AQE) —
+      a GB-sized key set must degrade to a shuffle, not blow the 8 GB
+      broadcast limit or driver memory. The incumbent side is still
+      keys-only column-pruned and semi-joined down to batch-touched keys
+      before its resolve window, so the shuffle carries narrow rows only.
+
+    Kept as a module function so tests pin BOTH plan regimes against the
+    exact production code path (tests/test_mor_plans.py).
+    """
+    iw = Window.partitionBy(PART_COL, *key_cols).orderBy(
+        F.col("ts").desc_nulls_last(), F.col("_lsn").desc_nulls_last()
+    )
+    keyset = dback.select(*key_cols).distinct()
+    if broadcast_keys:
+        keyset = F.broadcast(keyset)
+    inc1 = (
+        inc_scan
+        # keys-only prune: incumbent rows whose key the batch didn't
+        # touch never reach the resolve window
+        .join(keyset, key_cols, "left_semi")
+        .withColumn("_rn", F.row_number().over(iw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            PART_COL,
+            *key_cols,
+            F.col("ts").alias("_i_ts"),
+            F.col("_lsn").alias("_i_lsn"),
+            (F.col("_op") != "D").cast("int").alias("_i_live"),
+        )
+    )
+    if broadcast_keys:
+        inc1 = F.broadcast(inc1)
+    return dback.join(inc1, [PART_COL] + key_cols, "left")
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -682,31 +734,22 @@ class CdcEngine:
                     inc_files.extend(e["files"])
                     inc_files.extend(e.get("delta_files") or [])
             if inc_files:
-                iw = Window.partitionBy(PART_COL, *key_cols).orderBy(
-                    F.col("ts").desc_nulls_last(), F.col("_lsn").desc_nulls_last()
-                )
-                inc1 = (
+                inc_scan = (
                     self.spark.read.schema(physical_schema(evolved))
                     .parquet(*[os.path.join(self.table.root, f) for f in inc_files])
                     .select(*narrow)
-                    # keys-only prune: incumbent rows whose key the batch
-                    # didn't touch never reach the resolve window
-                    .join(
-                        F.broadcast(dback.select(*key_cols).distinct()),
-                        key_cols,
-                        "left_semi",
-                    )
-                    .withColumn("_rn", F.row_number().over(iw))
-                    .filter(F.col("_rn") == 1)
-                    .select(
-                        PART_COL,
-                        *key_cols,
-                        F.col("ts").alias("_i_ts"),
-                        F.col("_lsn").alias("_i_lsn"),
-                        (F.col("_op") != "D").cast("int").alias("_i_live"),
-                    )
                 )
-                j = dback.join(F.broadcast(inc1), [PART_COL] + key_cols, "left")
+                # size-gate the broadcasts: the bucket pre-pass already
+                # counted the batch's valid events on the driver — an upper
+                # bound on its distinct key count, so the gate never
+                # broadcasts a frame bigger than it expects
+                valid_events = rpt.events_read - rpt.quarantined
+                j = build_mor_classification(
+                    dback,
+                    inc_scan,
+                    key_cols,
+                    broadcast_keys=valid_events <= cfg.mor_broadcast_key_limit,
+                )
             else:
                 j = (
                     dback.withColumn("_i_ts", F.lit(None).cast("timestamp"))

@@ -3,9 +3,13 @@
 Scale claims checked against Catalyst:
 * the MOR write pipeline (within-batch resolve → delta write) moves the
   batch across the network exactly once, like the COW merge;
-* the classification job never wide-shuffles the incumbent: the keys-only
-  incumbent scan is semi-joined against a BROADCAST of the delta's keys,
-  so only batch-touched keys reach the resolve window.
+* the classification job is size-gated (EngineConfig.mor_broadcast_key_limit):
+  below the gate the keys-only incumbent scan is semi-joined against a
+  BROADCAST of the delta's keys and broadcast back into the outer join
+  (zero added Exchanges); above it BOTH joins run shuffled — a
+  10–100 M-event initial load degrades to sort-merge instead of hitting
+  the 8 GB broadcast / driver-memory wall — while the incumbent stays
+  keys-only column-pruned in both regimes.
 
 Corners:
 * additive schema evolution mid-stream under MOR (evolved delta files
@@ -18,8 +22,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-
-from pyspark.sql import functions as F
 
 from image_report_spark.config import EngineConfig
 from image_report_spark.engine import CdcEngine
@@ -35,25 +37,12 @@ def _mk(spark, root, mode="mor", **kw):
     )
 
 
-def test_mor_classification_broadcasts_delta_keys(spark, tmp_path):
-    gen = ChangeLogGenerator(n_convs=30, max_turns=5, n_batches=2, seed=21)
-    log = str(tmp_path / "log")
-    gen.write_log(log)
-    mor = _mk(spark, tmp_path)
-    mor.run(log, max_batches=1)
-    mor.compact()  # fold batch 0 into base so batch 1 classifies against it
-    mor.run(log)
-    # the dirty read resolves via one window; the batch-2 classification
-    # already ran — recheck its shape through the read plan instead:
-    # dirty partitions resolve with exactly one Exchange (the window's),
-    # clean partitions none
-    plan = mor.read()._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan  # read is union+window, no join
-    # classification plan shape, reconstructed the way _mor_tail builds it:
-    # incumbent scan LEFT-SEMI-joined against broadcast(delta keys)
-    snap = mor.table.snapshot()
+def _classification_frames(spark, mor):
+    """(dback, inc_scan) rebuilt from the table's actual delta/base files,
+    shaped exactly as _mor_tail hands them to build_mor_classification."""
     import os
 
+    snap = mor.table.snapshot()
     delta_files = [
         os.path.join(mor.table.root, f)
         for e in snap["manifest"]
@@ -65,16 +54,103 @@ def test_mor_classification_broadcasts_delta_keys(spark, tmp_path):
         for f in e["files"]
     ]
     assert delta_files and base_files
-    keys = (
-        spark.read.parquet(*delta_files)
-        .select("conv_id", "turn_idx")
-        .distinct()
+    narrow = ["_p", "conv_id", "turn_idx", "ts", "_lsn", "_op"]
+    dback = spark.read.parquet(*delta_files).select(*narrow)
+    inc_scan = spark.read.parquet(*base_files).select(*narrow)
+    return dback, inc_scan
+
+
+def test_mor_classification_broadcasts_delta_keys(spark, tmp_path):
+    """Below the gate: both classification joins broadcast — the incumbent
+    is never wide-shuffled and stays keys-only column-pruned."""
+    from image_report_spark.engine import build_mor_classification
+
+    gen = ChangeLogGenerator(n_convs=30, max_turns=5, n_batches=2, seed=21)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    mor = _mk(spark, tmp_path)
+    mor.run(log, max_batches=1)
+    mor.compact()  # fold batch 0 into base so batch 1 classifies against it
+    mor.run(log)
+    # the dirty read resolves via one window; no join anywhere
+    plan = mor.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # read is union+window, no join
+
+    dback, inc_scan = _classification_frames(spark, mor)
+    j = build_mor_classification(
+        dback, inc_scan, ["conv_id", "turn_idx"], broadcast_keys=True
     )
-    inc = spark.read.parquet(*base_files).select("conv_id", "turn_idx", "ts", "_lsn", "_op")
-    j = inc.join(F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi")
     jplan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in jplan and "LeftSemi" in jplan
     assert "SortMergeJoin" not in jplan  # incumbent is never wide-shuffled
+    # keys-only prune: the incumbent scan never reads payload columns
+    assert "text" not in jplan and "role" not in jplan
+
+
+def test_mor_classification_shuffles_above_gate(spark, tmp_path):
+    """Above the gate: NO broadcast anywhere — both joins degrade to
+    shuffled joins (sort-merge / shuffled-hash), which is what survives a
+    10–100 M-event initial load; the incumbent stays keys-only pruned."""
+    from image_report_spark.engine import build_mor_classification
+
+    gen = ChangeLogGenerator(n_convs=30, max_turns=5, n_batches=2, seed=21)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    mor = _mk(spark, tmp_path)
+    mor.run(log, max_batches=1)
+    mor.compact()
+    mor.run(log)
+    dback, inc_scan = _classification_frames(spark, mor)
+    # broadcast_keys=False drops the HINTS; Catalyst may still auto-pick
+    # broadcast from size stats on tiny test files (correct). Pin that no
+    # hint is forced by turning auto-broadcast off — the way a genuinely
+    # GB-sized side presents to the planner:
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = build_mor_classification(
+            dback, inc_scan, ["conv_id", "turn_idx"], broadcast_keys=False
+        )
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in jplan and "BroadcastExchange" not in jplan
+        assert "SortMergeJoin" in jplan or "ShuffledHashJoin" in jplan
+        assert "LeftSemi" in jplan
+        assert "text" not in jplan and "role" not in jplan  # still keys-only
+        # and with the hint forced, broadcast happens even at threshold=-1
+        jb = build_mor_classification(
+            dback, inc_scan, ["conv_id", "turn_idx"], broadcast_keys=True
+        )
+        assert "BroadcastHashJoin" in jb._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_mor_shuffle_regime_equals_cow(spark, tmp_path):
+    """End-to-end with mor_broadcast_key_limit=0 (every batch takes the
+    shuffled classification path): ledger and final table still EXACTLY
+    match copy-on-write, and compaction restores the COW digest."""
+    gen = ChangeLogGenerator(n_convs=40, max_turns=5, n_batches=3, seed=31)
+    log = str(tmp_path / "log")
+    gen.write_log(log)
+    mor = _mk(spark, tmp_path, mor_broadcast_key_limit=0)
+    cow = _mk(spark, tmp_path, mode="cow")
+    mrpts = mor.run(log)
+    crpts = cow.run(log)
+    for m, c in zip(mrpts, crpts):
+        for f in ("applied", "deduped", "superseded", "inserts", "updates",
+                  "deletes", "rows_after"):
+            assert getattr(m, f) == getattr(c, f), f"batch {m.batch_id} {f}"
+    got = (
+        mor.read().toPandas().sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        cow.read().toPandas().sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns])
+    out = mor.compact()
+    assert out["table_digest"] == cow.current_table_digest()
 
 
 def test_mor_schema_evolution_mid_stream(spark, tmp_path):
