@@ -569,30 +569,89 @@ def simhash_duplicates(
     )
 
 
+# Manku-style combination keys (Manku, Jain & Das Sarma, "Detecting
+# Near-Duplicates for Web Crawling", WWW'07 §3): split the 64-bit
+# fingerprint into 6 blocks and key buckets on every 3-block combination.
+# Distance ≤ 3 flips bits in at most 3 blocks, so at least 3 blocks are
+# untouched and SOME combination of 3 untouched blocks matches (pigeonhole)
+# — same recall guarantee as the 4×16-bit scheme, but the key carries
+# ~32 bits instead of 16, so the key space is 2^32 per combination and
+# buckets stay small at 10⁶–10⁹ docs where the 16-bit space saturates.
+_MANKU_WIDTHS = (11, 11, 11, 11, 10, 10)
+_MANKU_OFFSETS = tuple(sum(_MANKU_WIDTHS[:i]) for i in range(6))
+_MANKU_COMBOS = [
+    (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+]  # C(6,3) = 20 combinations, band id = list index
+
+
+def _manku_block(b: int):
+    return F.shiftrightunsigned(F.col("_sim"), _MANKU_OFFSETS[b]).bitwiseAND(
+        F.lit((1 << _MANKU_WIDTHS[b]) - 1)
+    )
+
+
+def simhash_bands_from_sim(
+    h: DataFrame, id_col: str = "doc_id", scheme: str = "bands16"
+) -> DataFrame:
+    """Explode precomputed fingerprints ``h`` = (id, _sim) into LSH bucket
+    keys (id, _sim, band, band_bits). Both schemes guarantee full recall
+    for Hamming distance ≤ 3 by pigeonhole:
+
+    * ``"bands16"``: 4 × 16-bit bands — 4 rows/doc, 2¹⁶-value key space.
+      Fine below ~10⁶ docs; beyond that buckets grow impure AND huge.
+    * ``"manku"``: 20 × 3-block combination keys over 6 blocks — 20
+      rows/doc, ~2³²-value key space; bucket sizes stay bounded at
+      10⁶–10⁹ docs (the web-crawl regime the scheme was designed for).
+      5× the candidate-generation shuffle rows buys ~6 × 10⁴× more key
+      values — the right trade everywhere above small corpora.
+    """
+    if scheme == "bands16":
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("_sim"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_bits"),
+                )
+                for b in range(4)
+            ]
+        )
+    elif scheme == "manku":
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("band"),
+                    (
+                        F.shiftleft(
+                            _manku_block(i), _MANKU_WIDTHS[j] + _MANKU_WIDTHS[k]
+                        )
+                        .bitwiseOR(F.shiftleft(_manku_block(j), _MANKU_WIDTHS[k]))
+                        .bitwiseOR(_manku_block(k))
+                    ).alias("band_bits"),
+                )
+                for n, (i, j, k) in enumerate(_MANKU_COMBOS)
+            ]
+        )
+    else:
+        raise ValueError(f"scheme must be bands16|manku, got {scheme!r}")
+    return h.select(id_col, "_sim", F.explode(band_arr).alias("bb")).select(
+        id_col, "_sim", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits")
+    )
+
+
 def simhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     word_hash=None,
+    scheme: str = "bands16",
 ) -> DataFrame:
-    """(id, _sim, band, band_bits): the 64-bit fingerprint split into
-    4 × 16-bit LSH bands (pigeonhole: distance ≤ 3 ⇒ ≥ 1 whole band
-    agrees)."""
+    """(id, _sim, band, band_bits): the 64-bit fingerprint exploded into
+    LSH bucket keys — see :func:`simhash_bands_from_sim` for the two
+    key schemes (both pigeonhole-complete for distance ≤ 3)."""
     h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("_sim"))
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("_sim"), 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("band_bits"),
-            )
-            for b in range(4)
-        ]
-    )
-    return h.select(id_col, "_sim", F.explode(band_arr).alias("bb")).select(
-        id_col, "_sim", F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits")
-    )
+    return simhash_bands_from_sim(h, id_col, scheme)
 
 
 def _hamming_verified(pairs: DataFrame, max_dist: int) -> DataFrame:
@@ -614,19 +673,23 @@ def simhash_near_pairs(
     max_dist: int = 3,
     word_hash=None,
     max_pairs_per_member: int | None = None,
+    scheme: str = "bands16",
 ) -> DataFrame:
     """Near-duplicate PAIRS at Hamming distance ≤ ``max_dist`` (< 4).
 
     Candidates are same-band-value pairs via rank + equi-join
     (:func:`within_bucket_pairs`) — the all-pairs O(n²) never
     materializes and no single task owns a whole hot bucket. Verify is
-    JVM-side ``bit_count(a XOR b)`` — no Python. Pair output is
-    inherently O(cluster²) on a true duplicate cluster; prefer
+    JVM-side ``bit_count(a XOR b)`` — no Python, and identical under
+    either banding ``scheme`` (the scheme changes candidate volume, never
+    the verified output — both are pigeonhole-complete at dist ≤ 3; use
+    ``"manku"`` at ≳10⁶ docs, see :func:`simhash_bands_from_sim`). Pair
+    output is inherently O(cluster²) on a true duplicate cluster; prefer
     :func:`simhash_near_groups` at scale or set
     ``max_pairs_per_member`` (and log :func:`capped_pair_drops`)."""
     if not 0 <= max_dist < 4:
-        raise ValueError("banding with 4 bands covers max_dist in [0, 3]")
-    banded = simhash_banded(df, text_col, id_col, word_hash)
+        raise ValueError("banding covers max_dist in [0, 3]")
+    banded = simhash_banded(df, text_col, id_col, word_hash, scheme)
     pairs = within_bucket_pairs(
         banded, ["band", "band_bits"], id_col, carry=("_sim",),
         max_pairs_per_member=max_pairs_per_member,
@@ -640,21 +703,23 @@ def simhash_near_groups(
     id_col: str = "doc_id",
     max_dist: int = 3,
     word_hash=None,
+    scheme: str = "bands16",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS at Hamming distance ≤ ``max_dist`` — the
     hot-cluster-safe path: hybrid candidate edges
     (:func:`bucket_candidate_edges` — exact inside small buckets, which
-    with 16-bit band keys is essential because buckets are NOT pure:
-    dissimilar docs sharing one band are common, so a representative can
-    fail to connect two mutually-close members; rep edges for big pure
-    clusters), ``bit_count`` verify, distributed connected components.
-    Output ``(doc_id, cluster_id)``, cluster_id = min id; singletons
-    absent. At ≳10⁶ docs the 2¹⁶-value band key space saturates (buckets
-    grow impure AND huge); the scale path is wider combination keys à la
-    Manku et al. (split 64 bits into 6 blocks, key on 3-block combos)."""
+    matters because buckets are NOT pure: dissimilar docs sharing one
+    band key are possible, so a representative can fail to connect two
+    mutually-close members; rep edges for big pure clusters),
+    ``bit_count`` verify, distributed connected components. Output
+    ``(doc_id, cluster_id)``, cluster_id = min id; singletons absent.
+    At ≳10⁶ docs use ``scheme="manku"``: the default 2¹⁶-value band key
+    space saturates (buckets grow impure AND huge) while the 20 3-block
+    combination keys (~2³² values) keep buckets bounded — see
+    :func:`simhash_bands_from_sim`."""
     if not 0 <= max_dist < 4:
-        raise ValueError("banding with 4 bands covers max_dist in [0, 3]")
-    banded = simhash_banded(df, text_col, id_col, word_hash)
+        raise ValueError("banding covers max_dist in [0, 3]")
+    banded = simhash_banded(df, text_col, id_col, word_hash, scheme)
     edges = bucket_candidate_edges(
         banded, ["band", "band_bits"], id_col, carry=("_sim",)
     )

@@ -196,6 +196,85 @@ def test_simhash_near_pairs_hamming(spark, docs):
     }
     assert got == expected
     assert (0, 1) in got  # the exact dup pair
+    # the Manku combination-key scheme changes candidate volume, never the
+    # verified output — both schemes are pigeonhole-complete at dist ≤ 3
+    got_manku = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(docs, max_dist=3, scheme="manku").collect()
+    }
+    assert got_manku == expected
+
+
+def test_manku_bands_bounded_where_16bit_saturates(spark):
+    """Planted key-space saturation: 100k distinct fingerprints that agree
+    on their low 16 bits (mutually distant in the upper 48). The 16-bit
+    scheme funnels ALL of them into one band-0 bucket — the ≳10⁶-doc
+    blow-up mode; the Manku 3-block combination keys keep every bucket
+    bounded because each of the 20 combinations includes at least one
+    block made of genuinely differing bits."""
+    from image_report_spark.operators.dedupe import simhash_bands_from_sim
+
+    n = 100_000
+    h = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # upper 48 bits pseudo-random, low 16 bits pinned to 0x1234
+        F.xxhash64("id")
+        .bitwiseAND(F.lit(~0xFFFF))
+        .bitwiseOR(F.lit(0x1234))
+        .alias("_sim"),
+    )
+    def max_bucket(scheme):
+        return (
+            simhash_bands_from_sim(h, "doc_id", scheme)
+            .groupBy("band", "band_bits")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+    assert max_bucket("bands16") == n  # saturated: one bucket owns the corpus
+    # each combo key has ≥ 16 bits of differing-bit entropy here →
+    # expected max bucket ~a few; 64 is a generous determinism margin
+    assert max_bucket("manku") <= 64
+
+
+def test_manku_recall_guarantee_planted_neighbors(spark):
+    """Pigeonhole completeness of the combination keys, directly: plant
+    pairs at every distance 0–3 with flips spread across DIFFERENT blocks
+    (the adversarial placement for block schemes) and assert every pair
+    shares at least one of the 20 combination keys."""
+    from image_report_spark.operators.dedupe import simhash_bands_from_sim
+
+    base = 0x0123_4567_89AB_CDEF
+    rows, pairs = [], []
+    nid = 0
+    # flip bit sets hitting 1, 2 and 3 distinct blocks incl. block edges
+    for flips in [(), (0,), (63,), (10, 11), (21, 22), (5, 33, 54), (0, 32, 63)]:
+        v = base
+        for b in flips:
+            v ^= 1 << b
+        if v >= 1 << 63:
+            v -= 1 << 64
+        rows.append((nid, v))
+        if flips:
+            pairs.append((0, nid))
+        nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, _sim long")
+    banded = simhash_bands_from_sim(df, "doc_id", "manku")
+    shared = {
+        (r.id_a, r.id_b)
+        for r in banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    for p in pairs:
+        assert p in shared, f"pair {p} missed by combination keys"
 
 
 # ------------------------------------------------------------- similarity
