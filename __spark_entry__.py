@@ -621,6 +621,41 @@ def d5g_embedding_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def d6_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup via the persisted SignatureStore: batch 0 =
+    the documents corpus (signatures + band index committed to an Icelite
+    side table), batch 1 = the deterministic duplicated subset — batch 1
+    is near-dup'd against HISTORY without recomputing or even re-banding
+    historical signatures (state side = stored band-index scan only).
+
+    Oracle: exact all-pairs Jaccard in DuckDB restricted to pairs with a
+    batch-1 member — incremental output must EQUAL the exact answer over
+    the union corpus (recall complete w.o.p. at threshold 0.8 with
+    bands=16, same math as d2_minhash_neardup)."""
+    import shutil
+    import tempfile
+
+    from image_report_spark.operators.incremental import SignatureStore
+
+    root = tempfile.mkdtemp(prefix="irs-sigstore-")
+    try:
+        store = SignatureStore.init(
+            spark, os.path.join(root, "s"), k=32, bands=16, threshold=0.8,
+            num_buckets=8,
+        )
+        docs = _t(spark, sf_dir, "documents")
+        store.neardup_batch(docs.select("doc_id", "text"), 0)
+        batch1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        # returned pairs are eagerly materialized inside neardup_batch,
+        # so the store directory can be reclaimed before consumption
+        out = store.neardup_batch(batch1, 1)
+        return out.orderBy("id_a", "id_b")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def t1_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analysis: chars, words, BPE-ish tokens, punct ratio."""
     from image_report_spark.functions.text import (
@@ -810,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_simhash_groups": d3_simhash_groups,
         "d4_simhash_near_pairs": d4_simhash_near_pairs,
         "d5_embedding_neardup": d5_embedding_neardup,
+        "d6_incremental_neardup": d6_incremental_neardup,
         "d2g_minhash_groups": d2g_minhash_groups,
         "d4g_simhash_near_groups": d4g_simhash_near_groups,
         "d5g_embedding_neardup_groups": d5g_embedding_neardup_groups,
@@ -1270,6 +1306,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s)) * 1.0
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # incremental store == exact answer restricted to batch-1 pairs
+        # (batch 1 = the +1000000 duplicated subset)
+        "d6_incremental_neardup": r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                          ELSE [array_to_string(ws, ' ')] END AS s
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS ws
+                    FROM docs)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+              AND (a.doc_id >= 1000000 OR b.doc_id >= 1000000)
             ORDER BY id_a, id_b
         """,
         "d3_simhash_groups": f"""

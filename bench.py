@@ -84,6 +84,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _data_bytes(table_root: str) -> int:
+    """Bytes of data files currently under the table (cumulative writes
+    until expire_snapshots; COW keeps every superseded rewrite)."""
+    total = 0
+    for dp, _, files in os.walk(os.path.join(table_root, "data")):
+        for f in files:
+            total += os.path.getsize(os.path.join(dp, f))
+    return total
+
+
 def bench_cdc(
     spark,
     n_events: int,
@@ -162,6 +172,7 @@ def bench_cdc(
             "events_per_sec": round(rows / apply_s, 1),
             "rows_final": reports[-1].rows_after,
             "cpus": cpus,
+            "cow_bytes_written": _data_bytes(os.path.join(scratch, "table")),
         }
         if n_batches > 1 and not pregenerated:
             # same events as ONE batch: shows how much of the small-batch
@@ -186,6 +197,48 @@ def bench_cdc(
                 "apply_sec": round(big_s, 3),
                 "events_per_sec": round(rows / big_s, 1),
             }
+            # merge-on-read leg on the IDENTICAL log: update-heavy batches
+            # rewrite deltas instead of whole partitions, which BASELINE.md
+            # argues is exactly what sidesteps this host's bandwidth
+            # throttle on batches 6-7 — measured here, not argued.
+            # compact() folds the deltas back and must restore the COW
+            # digest (asserted: same log -> same table, byte for byte)
+            eng_m = CdcEngine.init(
+                spark,
+                os.path.join(scratch, "table-mor"),
+                os.path.join(scratch, "checkpoint-mor"),
+                config=EngineConfig(
+                    num_buckets=buckets, shuffle_partitions=max(cpus * 2, 8),
+                    write_mode="mor",
+                ),
+            )
+            t0 = time.monotonic()
+            reports_m = eng_m.run(log_dir)
+            mor_apply_s = time.monotonic() - t0
+            assert all(r.conservation_ok() for r in reports_m)
+            mor_root = os.path.join(scratch, "table-mor")
+            mor_apply_bytes = _data_bytes(mor_root)
+            t0 = time.monotonic()
+            comp = eng_m.compact()
+            mor_compact_s = time.monotonic() - t0
+            cow_digest = reports[-1].table_digest
+            assert comp["table_digest"] == cow_digest, "MOR+compact != COW"
+            out["mor"] = {
+                "apply_sec": round(mor_apply_s, 3),
+                "apply_events_per_sec": round(rows / mor_apply_s, 1),
+                "apply_bytes_written": mor_apply_bytes,
+                "compact_sec": round(mor_compact_s, 3),
+                "compact_bytes_written": _data_bytes(mor_root) - mor_apply_bytes,
+                "digest_equals_cow": True,
+            }
+            print(
+                f"# mor: apply {mor_apply_s:.2f}s"
+                f" ({rows / mor_apply_s:,.0f} ev/s,"
+                f" {mor_apply_bytes / 1e6:.1f} MB written)"
+                f" + compact {mor_compact_s:.2f}s; cow wrote"
+                f" {out['cow_bytes_written'] / 1e6:.1f} MB",
+                file=sys.stderr,
+            )
         return out
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

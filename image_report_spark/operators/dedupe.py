@@ -136,13 +136,19 @@ def within_bucket_pairs(
     carry: tuple[str, ...] = (),
     max_pairs_per_member: int | None = None,
 ) -> DataFrame:
-    """Unordered (id_a < id_b) pairs within each bucket — hot-cluster-safe.
+    """Unordered (id_a < id_b) pairs within each bucket.
 
     Generated by rank + explode + equi-join on ``(bucket, position)``
-    instead of ``collect_list`` + nested transform: no row ever holds an
-    O(|bucket|) array, and the work for one bucket spreads across tasks
-    instead of landing in a single straggler. ``carry`` columns are
-    duplicated onto both sides as ``<c>_a`` / ``<c>_b``.
+    instead of ``collect_list`` + nested transform. Honest cost shape:
+    uncapped, the first member's row still materializes an O(|bucket|)
+    ``sequence`` array — but of 8-byte offsets, not struct pairs — and
+    the ``row_number`` window funnels each bucket through one task's
+    sort; what the rank + equi-join buys is that the JOIN OUTPUT (the
+    expensive side: wide carried payloads, O(|bucket|²) rows) spreads
+    across tasks instead of landing in a single straggler. For truly
+    unbounded buckets use the groups path (hybrid rep edges, linear) or
+    set the cap below. ``carry`` columns are duplicated onto both sides
+    as ``<c>_a`` / ``<c>_b``.
 
     ``max_pairs_per_member`` caps each member at its ``cap`` nearest
     id-successors within the bucket — candidate volume becomes

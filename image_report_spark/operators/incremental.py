@@ -9,18 +9,32 @@ new batch is near-dup'd by
 
 1. computing signatures for the DELTA only (the only pass that touches
    text),
-2. LSH-banding the delta AND the stored state (band hashes derive from
-   the stored signature — 16 cheap hashes per row, no re-shingling),
-3. joining delta bands against state bands (plus delta-internal
+2. LSH-banding the delta, and reading the state's band keys from a
+   PERSISTED band-index side table (band, band_hash, doc_id) appended
+   per batch — the state side is a narrow 20-byte-row scan with ZERO
+   banding compute; only the delta is ever exploded,
+3. joining delta bands against the index (plus delta-internal
    candidates) and verifying candidates by exact Jaccard over the STORED
    shingle-hash arrays,
-4. appending the delta's signatures as a new Icelite snapshot (atomic
-   commit, time-travelable like any other table).
+4. appending the delta's band keys and signatures as new Icelite
+   snapshots (atomic commits, each guarded by its own batch id so a
+   crash between the two appends resumes exactly-once).
 
-At 100 TB the cost per batch is O(delta · bands) shuffle rows joined
-against a bucketed state scan — never a recompute of the corpus. The
-state table stores (doc_id, _sh, _sig): the shingle-hash array is the
-standard storage trade that buys text-free exact verification.
+At 100 TB the per-batch cost is O(delta · bands) banding compute plus
+one narrow index scan joined on the band key — never a re-banding of
+the corpus. The state table stores (doc_id, _sh, _sig): the
+shingle-hash array is the standard storage trade that buys text-free
+exact verification.
+
+Hot state buckets (a boilerplate duplicate cluster accumulated in
+state — the COMMON case) would make the history↔delta equi-join emit
+O(|state bucket| · |delta bucket|) candidates; ``neardup_batch`` takes
+``state_bucket_rep_threshold`` to route big state buckets through the
+same hybrid shape as :func:`bucket_candidate_edges` — buckets above the
+threshold contribute only their representative (min doc id) to the
+cross join, so candidate volume is linear in the delta. The skipped
+member count is never silent: it lands in
+``self.last_state_rep_skips`` after each batch.
 """
 
 from __future__ import annotations
@@ -32,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -53,6 +68,14 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
+_BANDS_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType(), False),
+        StructField("band_hash", LongType(), False),
+        StructField("doc_id", LongType(), False),
+    ]
+)
+
 
 class SignatureStore:
     """MinHash signature state backed by :class:`IceliteTable`.
@@ -61,21 +84,27 @@ class SignatureStore:
     machinery for free; signature rows ride the physical schema with
     ``_lsn`` = batch id and ``_op`` = 'I' (signatures are append-only —
     a re-ingested doc id would be a new near-dup observation upstream).
-    LSH parameters are pinned at init in ``params.json`` because
-    signatures computed under different (k, bands, seed) are not
-    comparable.
+    A second Icelite table persists the band INDEX (band, band_hash,
+    doc_id) so no batch ever re-bands historical signatures. LSH
+    parameters are pinned at init in ``params.json`` because signatures
+    computed under different (k, bands, seed) are not comparable.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.table = IceliteTable(spark, os.path.join(root, "table"))
+        self.band_table = IceliteTable(spark, os.path.join(root, "bands"))
         with open(os.path.join(root, "params.json")) as f:
             p = json.load(f)
         self.k = int(p["k"])
         self.bands = int(p["bands"])
         self.seed = int(p["seed"])
         self.threshold = float(p["threshold"])
+        #: state members skipped by the rep-threshold in the last
+        #: ``neardup_batch`` call (None = no threshold was active) —
+        #: the "no silent caps" accounting
+        self.last_state_rep_skips: int | None = None
 
     @classmethod
     def init(
@@ -93,7 +122,12 @@ class SignatureStore:
         with open(os.path.join(root, "params.json"), "w") as f:
             json.dump(params, f)
         IceliteTable.create(
-            spark, os.path.join(root, "table"), _STATE_SCHEMA, num_buckets
+            spark, os.path.join(root, "table"), _STATE_SCHEMA, num_buckets,
+            merge_keys=["doc_id"],
+        )
+        IceliteTable.create(
+            spark, os.path.join(root, "bands"), _BANDS_SCHEMA, num_buckets,
+            merge_keys=["band", "band_hash", "doc_id"],
         )
         return cls(spark, root)
 
@@ -102,19 +136,85 @@ class SignatureStore:
         """Stored (doc_id, _sh, _sig) rows — no text anywhere."""
         return self.table.read()
 
+    def state_bands(self) -> DataFrame:
+        """The persisted band index: (band, band_hash, doc_id) — a narrow
+        scan, NO banding compute (plan-pinned in tests: no Generate node,
+        and the signature columns ``_sh``/``_sig`` are never read)."""
+        self._ensure_band_index()
+        return self.band_table.read()
+
     def _banded(self, sig_df: DataFrame) -> DataFrame:
         return explode_bands(sig_df, "doc_id", self.k, self.bands)
 
+    def _ensure_band_index(self) -> None:
+        """Upgrade path for stores created before the band index existed:
+        backfill (one O(corpus) re-band, ONCE) and commit it at the
+        signature table's batch id so subsequent appends line up."""
+        if self.band_table.exists():
+            return
+        IceliteTable.create(
+            self.spark, os.path.join(self.root, "bands"), _BANDS_SCHEMA,
+            self.table.num_buckets(), merge_keys=["band", "band_hash", "doc_id"],
+        )
+        last = self.table.snapshot().get("batch_id")
+        if last is not None:
+            self._append_bands(self._banded(self.signatures()), last)
+
+    def _append_bands(self, banded: DataFrame, batch_id: int) -> None:
+        phys = banded.select(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(self.band_table.num_buckets()))
+            .cast("int").alias(PART_COL),
+            F.col("band").cast("int"), "band_hash", "doc_id",
+            F.lit(batch_id).cast("long").alias("_lsn"),
+            F.lit("I").alias("_op"),
+        )
+        written = self.band_table.write_partition_files(
+            phys, batch_id, sort_cols=[PART_COL, "band", "band_hash", "doc_id"],
+            dir_label=f"bx{batch_id:05d}",
+        )
+        prev = {e["partition"]: e for e in self.band_table.snapshot()["manifest"]}
+        replaced = {}
+        for part, files in written.items():
+            old = prev.get(part, {"files": []})
+            replaced[part] = {
+                "files": old["files"] + files,
+                "row_count": None,
+                "live_rows": None,
+                "checksum": None,
+                "last_applied_lsn": batch_id,
+            }
+        self.band_table.commit(
+            replaced, _BANDS_SCHEMA, batch_id,
+            {"kind": "band-index-append"},
+        )
+
     # ------------------------------------------------------------------ apply
-    def neardup_batch(self, batch_df: DataFrame, batch_id: int,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    def neardup_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        state_bucket_rep_threshold: int | None = None,
+    ) -> DataFrame:
         """Near-dup pairs introduced by ``batch_df`` (vs history AND
-        within the batch), then append the batch's signatures to state.
+        within the batch), then append the batch's band keys and
+        signatures to state.
 
         Returns verified (id_a, id_b, jaccard) pairs where at least one
         side is a batch doc. The historical side is served ENTIRELY from
-        the state table: this function never sees historical text.
+        the stored tables: this function never sees historical text and
+        never re-bands historical signatures.
+
+        ``state_bucket_rep_threshold``: state buckets with more members
+        than this contribute only their representative (min doc id) to
+        the history↔delta join — the hybrid hot-cluster shape. A delta
+        doc joining a big pure duplicate cluster still pairs with (and
+        Jaccard-verifies against) the representative; what's lost is
+        only the redundant per-member pair fan-out. Skipped member count
+        lands in ``self.last_state_rep_skips`` (never silent).
         """
+        self._ensure_band_index()
         delta_sig = minhash_signatures(
             batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
             text_col, "doc_id", self.k, self.seed,
@@ -125,17 +225,49 @@ class SignatureStore:
         try:
             state_sig = self.signatures()
             delta_banded = self._banded(delta_sig)
-            state_banded = self._banded(state_sig)
+            state_banded = self.band_table.read()
+
+            sb = state_banded
+            if state_bucket_rep_threshold is not None:
+                if state_bucket_rep_threshold < 1:
+                    raise ValueError("state_bucket_rep_threshold must be >= 1")
+                # groupBy (map-side combined) + equi-join back, NOT a
+                # window: a window would funnel each hot bucket through
+                # one task's sort — the exact shape this path avoids
+                sizes = state_banded.groupBy("band", "band_hash").agg(
+                    F.count(F.lit(1)).alias("_bn"),
+                    F.min("doc_id").alias("_rep"),
+                )
+                sb = (
+                    state_banded.join(sizes, ["band", "band_hash"])
+                    .filter(
+                        (F.col("_bn") <= F.lit(state_bucket_rep_threshold))
+                        | (F.col("doc_id") == F.col("_rep"))
+                    )
+                    .drop("_bn", "_rep")
+                )
+                # no silent caps: count the skipped members (one tiny
+                # aggregate over the sizes frame)
+                self.last_state_rep_skips = int(
+                    sizes.filter(F.col("_bn") > state_bucket_rep_threshold)
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("_bn") - 1), F.lit(0)
+                        ).alias("skipped")
+                    )
+                    .collect()[0]["skipped"]
+                )
+            else:
+                self.last_state_rep_skips = None
 
             # history ↔ delta candidates: equi-join on the band key; the
-            # state side at 100 TB is a bucketed scan of 8-byte keys
+            # state side is the persisted narrow index — 20-byte rows,
+            # no _sh/_sig bytes move, no banding compute.
             # least/greatest orientation + self-pair filter keep the
             # output stable under crash-resume re-apply, when the state
-            # already contains this batch's own signatures
+            # already contains this batch's own rows
             cross = (
-                state_banded.select(
-                    "band", "band_hash", F.col("doc_id").alias("_sid")
-                )
+                sb.select("band", "band_hash", F.col("doc_id").alias("_sid"))
                 .join(
                     delta_banded.select(
                         "band", "band_hash", F.col("doc_id").alias("_did")
@@ -161,12 +293,18 @@ class SignatureStore:
             verified = hash_jaccard_pairs(
                 candidates, sh_all, "doc_id", self.threshold
             )
-            # materialize results BEFORE the commit mutates state
+            # materialize results BEFORE the commits mutate state
             out = verified.localCheckpoint(eager=True)
 
-            # exactly-once append: a crash-resume re-apply of a committed
-            # batch recomputes the (deterministic) pairs but never
-            # double-writes the signatures
+            # exactly-once appends: band index first, then signatures —
+            # each guarded by ITS OWN committed batch id, so a crash
+            # between the two commits resumes without double-writing
+            # either (and a full re-apply of a committed batch recomputes
+            # the deterministic pairs but writes nothing)
+            last_bands = self.band_table.snapshot().get("batch_id")
+            if last_bands is None or batch_id > last_bands:
+                self._append_bands(delta_banded, batch_id)
+
             last = self.table.snapshot().get("batch_id")
             if last is not None and batch_id <= last:
                 return out

@@ -115,6 +115,7 @@ def knn_lsh_adaptive(
     n_planes: int = 6,
     seed: int = 97,
     round_to: int = 4,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Multi-probe fallback: widen the probe radius until ≥ k candidates.
 
@@ -126,7 +127,14 @@ def knn_lsh_adaptive(
     reads ``InMemoryTableScan``, never the files again (pinned by
     ``tests/test_training_ops.py::test_knn_lsh_adaptive_single_scan``).
     At cluster scale the cached projection is (id, vec, bucket) in
-    MEMORY_AND_DISK — the same working set any two-pass consumer holds."""
+    MEMORY_AND_DISK — the same working set any two-pass consumer holds.
+
+    By default the top-k result (k rows — driver-sized) is eagerly
+    materialized and the cache UNPERSISTED before returning, so repeated
+    calls in a long-lived session never accumulate cached frames. Pass
+    ``release_cache=False`` to get the lazy probe frame instead — the
+    caller then owns the cache lifecycle (``result.unpersist_handle``
+    carries the cached frame to release)."""
     from pyspark import StorageLevel
 
     dim = len(query_vec)
@@ -147,7 +155,18 @@ def knn_lsh_adaptive(
     probe = bucketed.filter(
         F.col("_bucket").isin(_hamming_ball(qb, n_planes, radius))
     )
-    return knn_bruteforce(probe, query_vec, k, id_col, vec_col, round_to)
+    out = knn_bruteforce(probe, query_vec, k, id_col, vec_col, round_to)
+    if release_cache:
+        # the probe job reads the still-live cache; the result is k rows
+        # — driver-sized by construction — so collect it, drop the cache,
+        # and hand back a local frame (localCheckpoint would itself stay
+        # registered as a persisted RDD until GC: the same leak shape)
+        rows = out.collect()
+        schema = out.schema
+        bucketed.unpersist()
+        return df.sparkSession.createDataFrame(rows, schema)
+    out.unpersist_handle = bucketed  # caller owns the cache lifecycle
+    return out
 
 
 def _embedding_banded(

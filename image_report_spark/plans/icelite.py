@@ -85,10 +85,22 @@ class IceliteTable:
         logical_schema: StructType,
         num_buckets: int = 32,
         format_version: int = 1,
+        merge_keys: list[str] | None = None,
     ) -> "IceliteTable":
+        """``merge_keys`` is a table property (like Iceberg's identifier
+        fields): the key columns the merge-on-read resolve window
+        partitions by. Defaults to the transcript key ``(conv_id,
+        turn_idx)``; side tables with other shapes (e.g. the signature
+        store's ``doc_id``) MUST set their own, or delta-file reads
+        would fail on missing columns."""
         t = cls(spark, root)
         if t.exists():
             raise FileExistsError(f"table already exists at {root}")
+        keys = list(merge_keys) if merge_keys else ["conv_id", "turn_idx"]
+        names = {f.name for f in logical_schema.fields}
+        missing = [k for k in keys if k not in names]
+        if missing:
+            raise ValueError(f"merge_keys {missing} not in table schema")
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         snap = {
@@ -99,9 +111,10 @@ class IceliteTable:
             "schema": logical_schema.jsonValue(),
             "partition_spec": {
                 "kind": "bucket",
-                "column": "conv_id",
+                "column": keys[0],
                 "num_buckets": num_buckets,
             },
+            "merge_keys": keys,
             "manifest": [],
             "ledger": None,
             "table_digest": None,
@@ -109,6 +122,12 @@ class IceliteTable:
         t._write_snapshot(snap)
         t._swap_pointer(0)
         return t
+
+    def merge_keys(self, snap: dict | None = None) -> list[str]:
+        """Merge key columns for the MOR resolve window (pre-merge_keys
+        snapshots fall back to the transcript key)."""
+        snap = snap or self.snapshot()
+        return list(snap.get("merge_keys") or ["conv_id", "turn_idx"])
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.meta_dir, "version-hint.text"))
@@ -186,11 +205,16 @@ class IceliteTable:
             u = base_df.withColumn("_d", F.lit(0)).unionByName(
                 delta_df.withColumn("_d", F.lit(1))
             )
-            w = Window.partitionBy(PART_COL, "conv_id", "turn_idx").orderBy(
-                F.col("ts").desc_nulls_last(),
-                F.col("_lsn").desc_nulls_last(),
-                F.col("_d").asc(),
-            )
+            # key columns come from the snapshot's merge_keys table
+            # property — NOT hard-coded to the transcript key, so side
+            # tables (e.g. a doc_id-keyed signature store) resolve too;
+            # ts only participates in LWW ordering where the schema has it
+            keys = self.merge_keys(snap)
+            phys_names = {f.name for f in phys.fields}
+            order = (
+                [F.col("ts").desc_nulls_last()] if "ts" in phys_names else []
+            ) + [F.col("_lsn").desc_nulls_last(), F.col("_d").asc()]
+            w = Window.partitionBy(PART_COL, *keys).orderBy(*order)
             parts_df.append(
                 u.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -316,6 +340,8 @@ class IceliteTable:
         }
         if "checksum_columns" in prev:
             snap["checksum_columns"] = prev["checksum_columns"]
+        if "merge_keys" in prev:
+            snap["merge_keys"] = prev["merge_keys"]
         self._write_snapshot(snap)
         self._swap_pointer(sid)
         return sid

@@ -107,3 +107,62 @@ def test_state_survives_reopen(spark, store):
     assert reopened.threshold == 0.5 and reopened.bands == 16
     p = {(r.id_a, r.id_b) for r in reopened.neardup_batch(_df(spark, B3), 1).collect()}
     assert p == {(3, 20)}
+
+
+def test_state_side_is_odelta_no_rebanding(spark, store):
+    """The state side of candidate generation is the PERSISTED band index
+    — per-batch banding compute is O(delta), not O(corpus). Pinned in the
+    plan: the index read has no Generate (explode) node and never touches
+    the signature columns, so historical rows contribute a narrow
+    20-byte-row scan and zero hash work."""
+    store.neardup_batch(_df(spark, B1), 0)
+    store.neardup_batch(_df(spark, B2), 1)
+    bands_df = store.state_bands()
+    plan = bands_df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode: keys are stored, not derived
+    assert "_sig" not in plan and "_sh" not in plan  # signatures never read
+    # the index holds exactly bands rows per historical doc
+    assert bands_df.count() == (len(B1) + len(B2)) * store.bands
+    # and it serves the next batch correctly (cross pair via index only)
+    p3 = {(r.id_a, r.id_b) for r in store.neardup_batch(_df(spark, B3), 2).collect()}
+    assert p3 == {(3, 20)}
+
+
+def test_band_index_append_is_idempotent(spark, store):
+    """Crash-resume re-apply never double-writes the band index (its
+    append is guarded by the band table's own committed batch id)."""
+    store.neardup_batch(_df(spark, B1), 0)
+    n1 = store.state_bands().count()
+    store.neardup_batch(_df(spark, B1), 0)  # re-apply committed batch
+    assert store.state_bands().count() == n1
+
+
+def test_hot_state_bucket_rep_threshold(spark, store):
+    """A boilerplate duplicate cluster accumulated in state must not
+    explode the history↔delta join: with ``state_bucket_rep_threshold``,
+    big state buckets contribute only their representative, candidate
+    volume is linear, the skip count is surfaced (never silent), and a
+    delta doc joining the cluster is still caught."""
+    boiler = "standard legal disclaimer text repeated on every single page"
+    big = [(100 + i, boiler) for i in range(40)]  # one pure hot cluster
+    store.neardup_batch(_df(spark, big), 0)
+
+    delta = [(500, boiler), (501, "unrelated fresh content nothing alike")]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in store.neardup_batch(
+            _df(spark, delta), 1, state_bucket_rep_threshold=4
+        ).collect()
+    }
+    # rep edge: the delta dup pairs with the cluster representative
+    assert (100, 500) in pairs
+    # linear, not all-members: far fewer history-side pairs than the
+    # 40-member fan-out (intra-delta and rep pairs only)
+    assert len([p for p in pairs if p[1] == 500]) < 5
+    # never-silent accounting: every exploded band of the 40-member
+    # bucket skipped its 39 non-representatives
+    assert store.last_state_rep_skips == 39 * store.bands
+    # default (no threshold) resets the accounting and stays exact
+    p2 = store.neardup_batch(_df(spark, [(600, boiler)]), 2)
+    assert store.last_state_rep_skips is None
+    assert {(r.id_a, r.id_b) for r in p2.collect()} >= {(100, 600), (500, 600)}

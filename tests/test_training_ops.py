@@ -423,7 +423,9 @@ def test_knn_lsh_adaptive_single_scan(spark, embeddings, tmp_path):
     df.write.parquet(path)
     disk = spark.read.parquet(path)
     q = [float(x) for x in vecs[0]]
-    res = knn_lsh_adaptive(disk.filter("vec_id != 0"), q, k=3, n_planes=4)
+    res = knn_lsh_adaptive(
+        disk.filter("vec_id != 0"), q, k=3, n_planes=4, release_cache=False
+    )
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     # everything after InMemoryRelation is the cache-DEFINITION subtree
@@ -432,3 +434,21 @@ def test_knn_lsh_adaptive_single_scan(spark, embeddings, tmp_path):
     probe_side = plan.split("InMemoryRelation")[0]
     assert "FileScan" not in probe_side and "Scan parquet" not in probe_side
     assert [r.vec_id for r in res.collect()][0] == 7  # still the right answer
+    res.unpersist_handle.unpersist()  # caller-owned lifecycle
+
+
+def test_knn_lsh_adaptive_releases_cache(spark, embeddings):
+    """Default lifecycle: repeated calls in a long-lived session leave
+    ZERO persisted frames behind (the r3 leak), while still answering
+    from a single data scan per call."""
+    from image_report_spark.operators.similarity import knn_lsh_adaptive
+
+    df, vecs = embeddings
+    jsc_sc = spark.sparkContext._jsc.sc()
+    before = jsc_sc.getPersistentRDDs().size()
+    for qi in (0, 3):
+        q = [float(x) for x in vecs[qi]]
+        res = knn_lsh_adaptive(df, q, k=3, n_planes=4)
+        top = [r.vec_id for r in res.collect()]
+        assert top[0] == qi  # the query's own vector is in df
+    assert jsc_sc.getPersistentRDDs().size() == before
