@@ -197,51 +197,70 @@ def bench_cdc(
                 "apply_sec": round(big_s, 3),
                 "events_per_sec": round(rows / big_s, 1),
             }
-            # merge-on-read leg on the IDENTICAL log: update-heavy batches
-            # rewrite deltas instead of whole partitions, which BASELINE.md
-            # argues is exactly what sidesteps this host's bandwidth
-            # throttle on batches 6-7 — measured here, not argued.
-            # compact() folds the deltas back and must restore the COW
-            # digest (asserted: same log -> same table, byte for byte)
-            eng_m = CdcEngine.init(
-                spark,
-                os.path.join(scratch, "table-mor"),
-                os.path.join(scratch, "checkpoint-mor"),
-                config=EngineConfig(
-                    num_buckets=buckets, shuffle_partitions=max(cpus * 2, 8),
-                    write_mode="mor",
-                ),
-            )
-            t0 = time.monotonic()
-            reports_m = eng_m.run(log_dir)
-            mor_apply_s = time.monotonic() - t0
-            assert all(r.conservation_ok() for r in reports_m)
-            mor_root = os.path.join(scratch, "table-mor")
-            mor_apply_bytes = _data_bytes(mor_root)
-            t0 = time.monotonic()
-            comp = eng_m.compact()
-            mor_compact_s = time.monotonic() - t0
-            cow_digest = reports[-1].table_digest
-            assert comp["table_digest"] == cow_digest, "MOR+compact != COW"
-            out["mor"] = {
-                "apply_sec": round(mor_apply_s, 3),
-                "apply_events_per_sec": round(rows / mor_apply_s, 1),
-                "apply_bytes_written": mor_apply_bytes,
-                "compact_sec": round(mor_compact_s, 3),
-                "compact_bytes_written": _data_bytes(mor_root) - mor_apply_bytes,
-                "digest_equals_cow": True,
+            # state the MOR leg needs — it runs LAST (from main, after the
+            # query legs) so its load never drains the host's burst pool
+            # ahead of the throttle-sensitive suite measurements
+            out["_mor_state"] = {
+                "log_dir": log_dir,
+                "scratch": scratch,
+                "buckets": buckets,
+                "cow_digest": reports[-1].table_digest,
+                "rows": rows,
             }
-            print(
-                f"# mor: apply {mor_apply_s:.2f}s"
-                f" ({rows / mor_apply_s:,.0f} ev/s,"
-                f" {mor_apply_bytes / 1e6:.1f} MB written)"
-                f" + compact {mor_compact_s:.2f}s; cow wrote"
-                f" {out['cow_bytes_written'] / 1e6:.1f} MB",
-                file=sys.stderr,
-            )
+        if "_mor_state" not in out:
+            shutil.rmtree(scratch, ignore_errors=True)
         return out
-    finally:
+    except BaseException:
         shutil.rmtree(scratch, ignore_errors=True)
+        raise
+
+
+def bench_mor(spark, cpus: int, state: dict) -> dict:
+    """Merge-on-read leg on the IDENTICAL default log: update-heavy
+    batches rewrite deltas instead of whole partitions, which BASELINE.md
+    argues is exactly what sidesteps this host's bandwidth throttle on
+    batches 6-7 — measured here, not argued. compact() folds the deltas
+    back and must restore the COW digest (asserted: same log -> same
+    table, byte for byte)."""
+    from image_report_spark.config import EngineConfig
+    from image_report_spark.engine import CdcEngine
+
+    scratch, rows = state["scratch"], state["rows"]
+    eng_m = CdcEngine.init(
+        spark,
+        os.path.join(scratch, "table-mor"),
+        os.path.join(scratch, "checkpoint-mor"),
+        config=EngineConfig(
+            num_buckets=state["buckets"], shuffle_partitions=max(cpus * 2, 8),
+            write_mode="mor",
+        ),
+    )
+    t0 = time.monotonic()
+    reports_m = eng_m.run(state["log_dir"])
+    mor_apply_s = time.monotonic() - t0
+    assert all(r.conservation_ok() for r in reports_m)
+    mor_root = os.path.join(scratch, "table-mor")
+    mor_apply_bytes = _data_bytes(mor_root)
+    t0 = time.monotonic()
+    comp = eng_m.compact()
+    mor_compact_s = time.monotonic() - t0
+    assert comp["table_digest"] == state["cow_digest"], "MOR+compact != COW"
+    out = {
+        "apply_sec": round(mor_apply_s, 3),
+        "apply_events_per_sec": round(rows / mor_apply_s, 1),
+        "apply_bytes_written": mor_apply_bytes,
+        "compact_sec": round(mor_compact_s, 3),
+        "compact_bytes_written": _data_bytes(mor_root) - mor_apply_bytes,
+        "digest_equals_cow": True,
+    }
+    print(
+        f"# mor: apply {mor_apply_s:.2f}s"
+        f" ({rows / mor_apply_s:,.0f} ev/s,"
+        f" {mor_apply_bytes / 1e6:.1f} MB written)"
+        f" + compact {mor_compact_s:.2f}s",
+        file=sys.stderr,
+    )
+    return out
 
 
 def main() -> int:
@@ -279,6 +298,17 @@ def main() -> int:
                         log_dir=args.log_dir)
     if not args.cdc_only:
         q_times = bench_queries(spark, sf_dir)
+    # cow-vs-mor comparison leg LAST: it reuses the cow run's log and is
+    # the least throttle-sensitive measurement (the claim is the bytes
+    # ratio + digest equality), so it must not drain the burst pool ahead
+    # of the suite legs above (mor timings stay OUT of the suite total —
+    # r01-comparable composition)
+    mor_state = cdc.pop("_mor_state", None)
+    if mor_state is not None:
+        try:
+            cdc["mor"] = bench_mor(spark, cpus, mor_state)
+        finally:
+            shutil.rmtree(mor_state["scratch"], ignore_errors=True)
     if cdc:
         q_times["cdc_apply"] = cdc["apply_sec"]
 
