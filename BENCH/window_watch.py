@@ -12,7 +12,11 @@ result. Repeats until the run beats BENCH_r01 on both headline numbers
 or the time budget expires; every attempt is logged, best kept.
 
 Usage: python BENCH/window_watch.py [--hours H] [--threshold S] [--once]
-Writes: BENCH/window_watch.jsonl (all attempts), BENCH/r3_clean_bench.json (best)
+                                    [--best-out FILE]
+Writes: BENCH/window_watch.jsonl (all attempts), best attempt to
+--best-out (default BENCH/r4_clean_bench.json). Attempts pass
+--skip-mor to bench.py: the cow-vs-mor leg is measured once in the
+official bench, not per parity attempt (it only drains the pool here).
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ def run_bench() -> dict | None:
     env.setdefault("SPARK_GRAFT_TMP", "/dev/shm/irs-bench")
     env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/irs-spark-local")
     out = subprocess.run(
-        [sys.executable, "bench.py"],
+        [sys.executable, "bench.py", "--skip-mor"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -70,10 +74,12 @@ def main() -> int:
     ap.add_argument("--probe-interval", type=float, default=120.0)
     ap.add_argument("--once", action="store_true",
                     help="run one bench attempt regardless of the control")
+    ap.add_argument("--best-out", default="r4_clean_bench.json",
+                    help="file under BENCH/ for the best attempt")
     args = ap.parse_args()
 
     log_path = os.path.join(REPO, "BENCH", "window_watch.jsonl")
-    best_path = os.path.join(REPO, "BENCH", "r3_clean_bench.json")
+    best_path = os.path.join(REPO, "BENCH", args.best_out)
     deadline = time.monotonic() + args.hours * 3600
     best: dict | None = None
     if os.path.exists(best_path):

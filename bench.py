@@ -273,6 +273,10 @@ def main() -> int:
     ap.add_argument("--log-dir", default=None,
                     help="pre-generated change log to apply (skips synthesis; "
                          "lets a scaling harness reuse one input across legs)")
+    ap.add_argument("--skip-mor", action="store_true",
+                    help="skip the cow-vs-mor comparison leg (repeated "
+                         "clean-window parity attempts don't need it and it "
+                         "drains the host's burst pool between attempts)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -306,7 +310,8 @@ def main() -> int:
     mor_state = cdc.pop("_mor_state", None)
     if mor_state is not None:
         try:
-            cdc["mor"] = bench_mor(spark, cpus, mor_state)
+            if not args.skip_mor:
+                cdc["mor"] = bench_mor(spark, cpus, mor_state)
         finally:
             shutil.rmtree(mor_state["scratch"], ignore_errors=True)
     if cdc:
