@@ -64,6 +64,17 @@ def build_spark(cpus: int):
         # stop-the-world parallel collector. On a real cluster set the same
         # via spark.executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # shuffle codec knob for the bandwidth-vs-cpu trade experiment:
+        # this VM's wide-thread ceiling is memory bandwidth (shuffle files
+        # live on /dev/shm, so every shuffle byte is a bus byte); zstd
+        # writes ~25-30% fewer bytes than lz4 on transcript text at the
+        # cost of cpu the wide legs have to spare. On a real cluster the
+        # same trade applies to network+disk. Default stays lz4 unless
+        # the A/B shows a win (see BENCH/BASELINE.md round 4).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
