@@ -1,0 +1,123 @@
+"""Strict rest-then-measure parity attempts with a BANDWIDTH probe.
+
+The round-3/4 finding is that this host's throttle is a bandwidth-shaped
+burst budget invisible to a compute-shaped single-thread control (clean
+0.40 s controls coexist with 4× apply slowdowns). This harness gates on
+what the workload actually consumes:
+
+* rest fully idle (default 12 min) to refill the burst pool;
+* probe MEMORY BANDWIDTH (512 MB numpy copy ×4, steady-state GB/s of the
+  last pass) AND the compute control;
+* run ONE bench attempt (`bench.py --skip-mor`), record everything;
+* repeat. Every attempt is appended to BENCH/rest_measure.jsonl with its
+  probes, so throttled attempts are identifiable post-hoc instead of
+  silently polluting a best-of.
+
+Usage: python BENCH/rest_measure.py [--cycles N] [--rest-secs S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+R01_SUITE_S = 47.855
+R01_CDC_EPS = 62744.2
+
+
+def control_secs() -> float:
+    a = np.random.default_rng(0).standard_normal(2_000_000)
+    t0 = time.monotonic()
+    for _ in range(15):
+        a = np.sort(a)[::-1].copy()
+    return time.monotonic() - t0
+
+
+def bandwidth_gbps() -> float:
+    """Steady-state memcpy bandwidth: 512 MB copy, last of 4 passes
+    (first passes absorb allocation + the drained-pool ramp)."""
+    a = np.ones(64_000_000)
+    dt = None
+    for _ in range(4):
+        t0 = time.monotonic()
+        b = a.copy()
+        dt = time.monotonic() - t0
+        del b
+    return 1.024 / dt
+
+
+def run_bench() -> dict | None:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    env.setdefault("SPARK_GRAFT_TMP", "/dev/shm/irs-bench")
+    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/irs-spark-local")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--skip-mor"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    print(f"bench failed rc={out.returncode}: {out.stderr[-1500:]}",
+          file=sys.stderr)
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=4)
+    ap.add_argument("--rest-secs", type=float, default=720.0)
+    args = ap.parse_args()
+    log_path = os.path.join(REPO, "BENCH", "rest_measure.jsonl")
+
+    for i in range(args.cycles):
+        print(f"# cycle {i}: resting {args.rest_secs:.0f}s", flush=True)
+        time.sleep(args.rest_secs)
+        bw = bandwidth_gbps()
+        ctl = statistics.median(control_secs() for _ in range(3))
+        print(f"# cycle {i}: bw {bw:.1f} GB/s, control {ctl:.3f}s", flush=True)
+        result = run_bench()
+        rec = {
+            "cycle": i,
+            "wall_clock": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "bandwidth_gbps_pre": round(bw, 2),
+            "control_sec_pre": round(ctl, 3),
+        }
+        if result is None:
+            rec["kind"] = "attempt_failed"
+        else:
+            rec.update(
+                kind="attempt",
+                suite_sec=result["value"],
+                cdc_events_per_sec=result["cdc"]["events_per_sec"],
+                single_batch_eps=result["cdc"]["single_batch"]["events_per_sec"],
+                beats_r01=bool(
+                    result["value"] <= R01_SUITE_S
+                    and result["cdc"]["events_per_sec"] >= R01_CDC_EPS
+                ),
+                result=result,
+            )
+            print(
+                f"# cycle {i}: suite {rec['suite_sec']:.1f}s "
+                f"eps {rec['cdc_events_per_sec']:.0f} "
+                f"beats_r01={rec['beats_r01']}", flush=True,
+            )
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if rec.get("beats_r01"):
+            return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
