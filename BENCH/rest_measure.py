@@ -55,11 +55,13 @@ def bandwidth_gbps() -> float:
     return 1.024 / dt
 
 
-def run_bench() -> dict | None:
+def run_bench(codec: str | None = None) -> dict | None:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", "32")
     env.setdefault("SPARK_GRAFT_TMP", "/dev/shm/irs-bench")
     env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/irs-spark-local")
+    if codec:
+        env["SPARK_GRAFT_SHUFFLE_CODEC"] = codec
     out = subprocess.run(
         [sys.executable, "bench.py", "--skip-mor"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,
@@ -77,22 +79,36 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cycles", type=int, default=4)
     ap.add_argument("--rest-secs", type=float, default=720.0)
+    ap.add_argument("--codec", default=None,
+                    help="shuffle codec for every attempt (lz4|zstd), or "
+                         "'alternate' to A/B them on consecutive cycles in "
+                         "the SAME window — the unconfounded comparison "
+                         "round 4 left owed")
+    ap.add_argument("--no-stop", action="store_true",
+                    help="run all cycles even after an r01-beating attempt "
+                         "(an A/B needs both arms, not an early exit)")
     args = ap.parse_args()
     log_path = os.path.join(REPO, "BENCH", "rest_measure.jsonl")
 
     for i in range(args.cycles):
-        print(f"# cycle {i}: resting {args.rest_secs:.0f}s", flush=True)
+        codec = args.codec
+        if codec == "alternate":
+            codec = "lz4" if i % 2 == 0 else "zstd"
+        print(f"# cycle {i}: resting {args.rest_secs:.0f}s"
+              + (f" (codec {codec})" if codec else ""), flush=True)
         time.sleep(args.rest_secs)
         bw = bandwidth_gbps()
         ctl = statistics.median(control_secs() for _ in range(3))
         print(f"# cycle {i}: bw {bw:.1f} GB/s, control {ctl:.3f}s", flush=True)
-        result = run_bench()
+        result = run_bench(codec)
         rec = {
             "cycle": i,
             "wall_clock": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "bandwidth_gbps_pre": round(bw, 2),
             "control_sec_pre": round(ctl, 3),
         }
+        if codec:
+            rec["codec"] = codec
         if result is None:
             rec["kind"] = "attempt_failed"
         else:
@@ -101,6 +117,7 @@ def main() -> int:
                 suite_sec=result["value"],
                 cdc_events_per_sec=result["cdc"]["events_per_sec"],
                 single_batch_eps=result["cdc"]["single_batch"]["events_per_sec"],
+                phase_ms=result["cdc"].get("phase_ms"),
                 beats_r01=bool(
                     result["value"] <= R01_SUITE_S
                     and result["cdc"]["events_per_sec"] >= R01_CDC_EPS
@@ -114,7 +131,7 @@ def main() -> int:
             )
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        if rec.get("beats_r01"):
+        if rec.get("beats_r01") and not args.no_stop:
             return 0
     return 1
 

@@ -50,6 +50,41 @@ def control_secs() -> float:
     return time.monotonic() - t0
 
 
+def amdahl_fit(legs: dict[int, dict], a: int, b: int) -> dict:
+    """Per-phase Amdahl decomposition from two parallelism levels.
+
+    Model each phase's wall as t(c) = s + w/c (s = serial component, w =
+    perfectly-parallel work); two legs (a < b cores) solve both exactly:
+    w = (t_a − t_b) / (1/a − 1/b), s = t_a − w/a. Noise can push s or w
+    slightly negative — clamp to 0 and keep the residual visible in the
+    per-phase table rather than hiding it. The summary number,
+    ``serial_fraction_of_a_wall``, is Σ s_phase / wall_a: the fraction of
+    the NARROW leg's apply wall that does not parallelize — the
+    cluster-transferable claim (a real cluster multiplies cores AND
+    memory buses, so w/c keeps shrinking there while s is the floor).
+    """
+    pa, pb = legs[a].get("phase_ms") or {}, legs[b].get("phase_ms") or {}
+    inv = 1.0 / a - 1.0 / b
+    table = {}
+    serial_ms = 0.0
+    for ph in sorted(set(pa) | set(pb)):
+        ta, tb = float(pa.get(ph, 0)), float(pb.get(ph, 0))
+        w = max((ta - tb) / inv, 0.0)
+        s = max(ta - w / a, 0.0)
+        serial_ms += s
+        table[ph] = {
+            "ms_at_" + str(a): round(ta), "ms_at_" + str(b): round(tb),
+            "serial_ms": round(s), "parallel_work_ms": round(w),
+        }
+    wall_a = 1000.0 * legs[a]["apply_sec"]
+    return {
+        "phases": table,
+        "serial_ms_total": round(serial_ms),
+        "serial_fraction_of_a_wall": round(serial_ms / wall_a, 4)
+        if wall_a else None,
+    }
+
+
 def run_leg(cpus: int, log_dir: str, batches: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -112,10 +147,13 @@ def main() -> int:
         finally:
             shutil.rmtree(gen_dir, ignore_errors=True)
         row = {"round": i, "gen_sec": round(gen_s, 1), "legs": {
-            str(c): {k: legs[c][k] for k in
-                     ("events_per_sec", "apply_sec", "control_sec", "rows_final")}
+            str(c): {k: legs[c].get(k) for k in
+                     ("events_per_sec", "apply_sec", "control_sec",
+                      "rows_final", "phase_ms")}
             for c in args.cpus}}
-        # pairwise efficiencies, raw and control-normalized
+        # pairwise efficiencies, raw and control-normalized, plus the
+        # per-phase Amdahl serial-fraction fit (cluster-transferable
+        # evidence that survives this host's bandwidth lottery)
         for a in args.cpus:
             for b in args.cpus:
                 if b > a:
@@ -127,6 +165,8 @@ def main() -> int:
                     nb = legs[b]["events_per_sec"] * (legs[b]["control_sec"] / cmin)
                     row[f"eff_{a}_{b}"] = round(raw, 3)
                     row[f"eff_norm_{a}_{b}"] = round((nb / na) / (b / a), 3)
+                    if legs[a].get("phase_ms") and legs[b].get("phase_ms"):
+                        row[f"amdahl_{a}_{b}"] = amdahl_fit(legs, a, b)
         rounds.append(row)
         print(json.dumps(row), file=sys.stderr)
 
@@ -147,6 +187,16 @@ def main() -> int:
                     streak = streak + 1 if ok else 0
                     best_streak = max(best_streak, streak)
                 summary[f"consec_ge_0.8_{a}_{b}"] = best_streak
+                fr = [
+                    r[f"amdahl_{a}_{b}"]["serial_fraction_of_a_wall"]
+                    for r in rounds
+                    if f"amdahl_{a}_{b}" in r
+                ]
+                if fr:
+                    # min across rounds: congestion only ADDS apparent
+                    # serialism, so the least-throttled round is the
+                    # truest reading of the engine's own serial floor
+                    summary[f"min_serial_fraction_{a}_{b}"] = min(fr)
     print(json.dumps(summary))
     return 0
 

@@ -540,17 +540,16 @@ def d3_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d4_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-ball near-dup pairs (dist ≤ 3) via Manku combination-key
-    simhash LSH (20 3-block keys over 6 blocks — the ≥10⁶-doc-scale
-    banding; pigeonhole-complete like the 4×16-bit scheme, so the
-    verified output is scheme-independent) + JVM bit_count(xor) verify;
-    oracle = exact all-pairs in DuckDB."""
+    """Hamming-ball near-dup pairs (dist ≤ 3) via simhash LSH with the
+    DEFAULT auto-selected banding scheme (scheme=None → bands16 below
+    10⁶ docs, Manku 20-combination keys above; both pigeonhole-complete,
+    so the verified output is scheme-independent) + JVM bit_count(xor)
+    verify; oracle = exact all-pairs in DuckDB."""
     from image_report_spark.functions.text import portable_word_hash
     from image_report_spark.operators.dedupe import simhash_near_pairs
 
     return simhash_near_pairs(
         _docs_with_dups(spark, sf_dir), max_dist=3, word_hash=portable_word_hash,
-        scheme="manku",
     ).orderBy("id_a", "id_b")
 
 
@@ -596,16 +595,16 @@ def d2g_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d4g_simhash_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-cluster-safe SimHash Hamming-ball CLUSTERS (dist ≤ 3): Manku
-    combination-key bands (the ≥10⁶-doc-scale scheme), hybrid candidate
-    edges + bit_count verify + connected components.
+    """Hot-cluster-safe SimHash Hamming-ball CLUSTERS (dist ≤ 3) under the
+    DEFAULT auto-selected banding scheme (scheme=None — manku engages by
+    itself at ≳10⁶ docs; verified output is scheme-independent), hybrid
+    candidate edges + bit_count verify + connected components.
     Oracle: exact all-pairs + recursive-CTE components."""
     from image_report_spark.functions.text import portable_word_hash
     from image_report_spark.operators.dedupe import simhash_near_groups
 
     return simhash_near_groups(
         _docs_with_dups(spark, sf_dir), max_dist=3, word_hash=portable_word_hash,
-        scheme="manku",
     ).orderBy("doc_id")
 
 

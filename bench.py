@@ -175,6 +175,12 @@ def bench_cdc(
         for r in reports:
             print(f"# batch {r.batch_id}: {r.wall_ms}ms rows_after={r.rows_after}",
                   file=sys.stderr)
+        # per-phase wall across all batches (from the engine's _tick
+        # ledger) — feeds BENCH/scaling.py's Amdahl serial-fraction fit
+        phases: dict[str, int] = {}
+        for r in reports:
+            for k, v in r.phase_ms.items():
+                phases[k] = phases.get(k, 0) + v
         out = {
             "events": rows,
             "batches": n_batches,
@@ -183,6 +189,7 @@ def bench_cdc(
             "events_per_sec": round(rows / apply_s, 1),
             "rows_final": reports[-1].rows_after,
             "cpus": cpus,
+            "phase_ms": phases,
             "cow_bytes_written": _data_bytes(os.path.join(scratch, "table")),
         }
         if n_batches > 1 and not pregenerated:
@@ -308,23 +315,29 @@ def main() -> int:
     # ordering changes no individual measurement's meaning
     q_times: dict[str, float] = {}
     cdc: dict = {}
-    if not args.queries_only:
-        cdc = bench_cdc(spark, args.events, cpus, n_batches=args.batches,
-                        log_dir=args.log_dir)
-    if not args.cdc_only:
-        q_times = bench_queries(spark, sf_dir)
-    # cow-vs-mor comparison leg LAST: it reuses the cow run's log and is
-    # the least throttle-sensitive measurement (the claim is the bytes
-    # ratio + digest equality), so it must not drain the burst pool ahead
-    # of the suite legs above (mor timings stay OUT of the suite total —
-    # r01-comparable composition)
-    mor_state = cdc.pop("_mor_state", None)
-    if mor_state is not None:
-        try:
-            if not args.skip_mor:
-                cdc["mor"] = bench_mor(spark, cpus, mor_state)
-        finally:
-            shutil.rmtree(mor_state["scratch"], ignore_errors=True)
+    # the whole span from bench_cdc's return to the MOR leg is covered by
+    # one try/finally: bench_cdc retains its scratch dir (multi-GB, on
+    # /dev/shm) for the deferred MOR leg, so an exception anywhere in
+    # between (e.g. a failing query) must not leak tmpfs
+    try:
+        if not args.queries_only:
+            cdc = bench_cdc(spark, args.events, cpus, n_batches=args.batches,
+                            log_dir=args.log_dir)
+        if not args.cdc_only:
+            q_times = bench_queries(spark, sf_dir)
+        # cow-vs-mor comparison leg LAST: it reuses the cow run's log and
+        # is the least throttle-sensitive measurement (the claim is the
+        # bytes ratio + digest equality), so it must not drain the burst
+        # pool ahead of the suite legs above (mor timings stay OUT of the
+        # suite total — r01-comparable composition)
+        mor_state = cdc.pop("_mor_state", None)
+        if mor_state is not None and not args.skip_mor:
+            cdc["mor"] = bench_mor(spark, cpus, mor_state)
+    finally:
+        # _mor_state is still in cdc if bench_queries raised before the pop
+        state = locals().get("mor_state") or cdc.get("_mor_state")
+        if state is not None:
+            shutil.rmtree(state["scratch"], ignore_errors=True)
     if cdc:
         q_times["cdc_apply"] = cdc["apply_sec"]
 

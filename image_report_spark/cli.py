@@ -71,6 +71,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                     help="cow rewrites touched partitions; mor appends "
                          "delta files and defers the merge to read time "
                          "(fold them back with the `compact` subcommand)")
+    sp.add_argument("--compact-delta-ratio", type=float, default=None,
+                    help="mor auto-compaction: compact a touched partition "
+                         "in the same apply once its delta bytes exceed "
+                         "this fraction of its base bytes (default: manual "
+                         "compaction only)")
 
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
@@ -173,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             metrics=args.metrics,
             grouped_resolve=args.grouped_resolve,
             write_mode=args.write_mode,
+            mor_compact_delta_ratio=args.compact_delta_ratio,
         )
         eng = CdcEngine.init(spark, args.table, args.checkpoint, config=cfg,
                              dedup_window_batches=args.dedup_window)

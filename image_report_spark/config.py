@@ -157,6 +157,17 @@ class EngineConfig:
     #: either scale.
     mor_broadcast_key_limit: int = 2_000_000
 
+    #: MOR auto-compaction policy: after a MOR batch commits, any touched
+    #: partition whose accumulated delta bytes exceed this fraction of its
+    #: base bytes is compacted partition-locally in the same apply call
+    #: (round-3 measurement: a dirty partition read costs ~3.4× a
+    #: compacted one — 2.4 s vs 0.7 s — so unbounded delta accumulation
+    #: quietly converts the MOR write win into a read loss). ``None``
+    #: (default) leaves compaction manual/scheduled — the right default
+    #: for bulk loads where a single ``compact()`` at the end beats many
+    #: incremental ones; set ~0.2–0.5 for continuously-tailed tables.
+    mor_compact_delta_ratio: float | None = None
+
     selected_metrics: set[str] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -184,4 +195,8 @@ class EngineConfig:
             raise ValueError("num_buckets must be >= 1")
         if self.mor_broadcast_key_limit < 0:
             raise ValueError("mor_broadcast_key_limit must be >= 0")
+        if self.mor_compact_delta_ratio is not None and not (
+            self.mor_compact_delta_ratio > 0
+        ):
+            raise ValueError("mor_compact_delta_ratio must be > 0 or None")
         self.selected_metrics = get_selected_metrics(self.metrics)

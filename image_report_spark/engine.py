@@ -90,6 +90,9 @@ class BatchReport:
     partitions_touched: int = 0
     wall_ms: int = 0
     table_digest: str | None = None
+    #: partitions auto-compacted by ``mor_compact_delta_ratio`` after this
+    #: batch's commit (0 when the policy is off or nothing crossed)
+    auto_compacted_partitions: int = 0
     op_histogram: dict = field(default_factory=dict)
     phase_ms: dict = field(default_factory=dict)
 
@@ -839,6 +842,32 @@ class CdcEngine:
             _tick("commit+seen")
         finally:
             lsn_pool.shutdown(wait=True)
+
+        # auto-compaction policy: fold deltas back into base for any
+        # TOUCHED partition whose accumulated delta bytes crossed
+        # ratio × base bytes — partition-local (O(dirty), schedulable per
+        # partition on a cluster), AFTER the batch's own commit so apply
+        # atomicity and the marker protocol are untouched. File sizes come
+        # from the local manifest paths — O(files of touched partitions)
+        # driver work, no Spark job.
+        ratio = cfg.mor_compact_delta_ratio
+        if ratio is not None:
+            def _bytes(paths: list[str]) -> int:
+                return sum(
+                    os.path.getsize(os.path.join(self.table.root, f))
+                    for f in paths
+                )
+
+            crossed = [
+                p
+                for p, e in replaced.items()
+                if _bytes(e.get("delta_files") or [])
+                > ratio * _bytes(e["files"])
+            ]
+            if crossed:
+                self.compact(partitions=sorted(crossed))
+                rpt.auto_compacted_partitions = len(crossed)
+                _tick("auto_compact")
         return rpt
 
     def compact(self, partitions: list[int] | None = None) -> dict:

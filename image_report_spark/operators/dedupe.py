@@ -583,6 +583,14 @@ def simhash_duplicates(
 # — same recall guarantee as the 4×16-bit scheme, but the key carries
 # ~32 bits instead of 16, so the key space is 2^32 per combination and
 # buckets stay small at 10⁶–10⁹ docs where the 16-bit space saturates.
+#: corpus size at which auto scheme selection (``scheme=None``) switches
+#: from the 4 × 16-bit bands to Manku combination keys: the 2¹⁶-value
+#: band-key space saturates around 10⁶ docs (proven by the planted
+#: saturation test in tests/test_training_ops.py — bands16 collapses to
+#: one bucket where manku stays ≤ 64), while manku's 5× candidate rows
+#: are pure overhead below it. One threshold, both regimes protected.
+SIMHASH_MANKU_AUTO_THRESHOLD = 1_000_000
+
 _MANKU_WIDTHS = (11, 11, 11, 11, 10, 10)
 _MANKU_OFFSETS = tuple(sum(_MANKU_WIDTHS[:i]) for i in range(6))
 _MANKU_COMBOS = [
@@ -646,16 +654,33 @@ def simhash_bands_from_sim(
     )
 
 
+def _resolve_simhash_scheme(
+    df: DataFrame, scheme: str | None, corpus_count: int | None
+) -> str:
+    """``scheme=None`` → auto-select from corpus size: manku at or above
+    :data:`SIMHASH_MANKU_AUTO_THRESHOLD`, bands16 below. The count is one
+    parquet-metadata-served job; pass ``corpus_count`` (any upper-bound
+    hint) to skip it. Explicit schemes pass through untouched."""
+    if scheme is not None:
+        return scheme
+    n = corpus_count if corpus_count is not None else df.count()
+    return "manku" if n >= SIMHASH_MANKU_AUTO_THRESHOLD else "bands16"
+
+
 def simhash_banded(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     word_hash=None,
-    scheme: str = "bands16",
+    scheme: str | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(id, _sim, band, band_bits): the 64-bit fingerprint exploded into
     LSH bucket keys — see :func:`simhash_bands_from_sim` for the two
-    key schemes (both pigeonhole-complete for distance ≤ 3)."""
+    key schemes (both pigeonhole-complete for distance ≤ 3).
+    ``scheme=None`` (default) auto-selects by corpus size so the
+    saturation-safe scheme engages without any kwarg at ≳10⁶ docs."""
+    scheme = _resolve_simhash_scheme(df, scheme, corpus_count)
     h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("_sim"))
     return simhash_bands_from_sim(h, id_col, scheme)
 
@@ -679,7 +704,8 @@ def simhash_near_pairs(
     max_dist: int = 3,
     word_hash=None,
     max_pairs_per_member: int | None = None,
-    scheme: str = "bands16",
+    scheme: str | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Near-duplicate PAIRS at Hamming distance ≤ ``max_dist`` (< 4).
 
@@ -688,14 +714,15 @@ def simhash_near_pairs(
     materializes and no single task owns a whole hot bucket. Verify is
     JVM-side ``bit_count(a XOR b)`` — no Python, and identical under
     either banding ``scheme`` (the scheme changes candidate volume, never
-    the verified output — both are pigeonhole-complete at dist ≤ 3; use
-    ``"manku"`` at ≳10⁶ docs, see :func:`simhash_bands_from_sim`). Pair
-    output is inherently O(cluster²) on a true duplicate cluster; prefer
-    :func:`simhash_near_groups` at scale or set
+    the verified output — both are pigeonhole-complete at dist ≤ 3;
+    ``scheme=None`` auto-selects manku at ≳10⁶ docs so the default path
+    never hits bands16 saturation, see :func:`simhash_bands_from_sim`).
+    Pair output is inherently O(cluster²) on a true duplicate cluster;
+    prefer :func:`simhash_near_groups` at scale or set
     ``max_pairs_per_member`` (and log :func:`capped_pair_drops`)."""
     if not 0 <= max_dist < 4:
         raise ValueError("banding covers max_dist in [0, 3]")
-    banded = simhash_banded(df, text_col, id_col, word_hash, scheme)
+    banded = simhash_banded(df, text_col, id_col, word_hash, scheme, corpus_count)
     pairs = within_bucket_pairs(
         banded, ["band", "band_bits"], id_col, carry=("_sim",),
         max_pairs_per_member=max_pairs_per_member,
@@ -709,7 +736,8 @@ def simhash_near_groups(
     id_col: str = "doc_id",
     max_dist: int = 3,
     word_hash=None,
-    scheme: str = "bands16",
+    scheme: str | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS at Hamming distance ≤ ``max_dist`` — the
     hot-cluster-safe path: hybrid candidate edges
@@ -719,13 +747,13 @@ def simhash_near_groups(
     mutually-close members; rep edges for big pure clusters),
     ``bit_count`` verify, distributed connected components. Output
     ``(doc_id, cluster_id)``, cluster_id = min id; singletons absent.
-    At ≳10⁶ docs use ``scheme="manku"``: the default 2¹⁶-value band key
-    space saturates (buckets grow impure AND huge) while the 20 3-block
-    combination keys (~2³² values) keep buckets bounded — see
-    :func:`simhash_bands_from_sim`."""
+    ``scheme=None`` (default) auto-selects by corpus size: at ≳10⁶ docs
+    the 2¹⁶-value bands16 key space saturates (buckets grow impure AND
+    huge) while manku's 20 3-block combination keys (~2³² values) keep
+    buckets bounded — see :func:`simhash_bands_from_sim`."""
     if not 0 <= max_dist < 4:
         raise ValueError("banding covers max_dist in [0, 3]")
-    banded = simhash_banded(df, text_col, id_col, word_hash, scheme)
+    banded = simhash_banded(df, text_col, id_col, word_hash, scheme, corpus_count)
     edges = bucket_candidate_edges(
         banded, ["band", "band_bits"], id_col, carry=("_sim",)
     )

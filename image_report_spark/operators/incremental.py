@@ -28,13 +28,21 @@ exact verification.
 
 Hot state buckets (a boilerplate duplicate cluster accumulated in
 state — the COMMON case) would make the history↔delta equi-join emit
-O(|state bucket| · |delta bucket|) candidates; ``neardup_batch`` takes
-``state_bucket_rep_threshold`` to route big state buckets through the
-same hybrid shape as :func:`bucket_candidate_edges` — buckets above the
-threshold contribute only their representative (min doc id) to the
+O(|state bucket| · |delta bucket|) candidates; ``neardup_batch`` routes
+big state buckets through the same hybrid shape as
+:func:`bucket_candidate_edges` — buckets above
+``state_bucket_rep_threshold`` (DEFAULT 64, the same bound
+``bucket_candidate_edges`` uses for exact pairs; pass ``None`` to
+disable) contribute only their representative (min doc id) to the
 cross join, so candidate volume is linear in the delta. The skipped
 member count is never silent: it lands in
-``self.last_state_rep_skips`` after each batch.
+``self.last_state_rep_skips`` after each batch. Recall caveat: for a
+PURE hot bucket (a true duplicate cluster) only the redundant
+per-member fan-out is lost, but for an IMPURE hot bucket a delta doc
+whose only true near-dup neighbor is a non-representative member
+loses that pair entirely (pairs output has no connected-components
+recovery step) — ``last_state_rep_skips`` counts skipped members, not
+missed true pairs.
 """
 
 from __future__ import annotations
@@ -128,6 +136,10 @@ class SignatureStore:
         IceliteTable.create(
             spark, os.path.join(root, "bands"), _BANDS_SCHEMA, num_buckets,
             merge_keys=["band", "band_hash", "doc_id"],
+            # _append_bands buckets rows by pmod(xxhash64(doc_id)) so a
+            # doc's bands co-locate — partition_spec must say so, not
+            # default to merge_keys[0]='band'
+            partition_column="doc_id",
         )
         return cls(spark, root)
 
@@ -155,6 +167,7 @@ class SignatureStore:
         IceliteTable.create(
             self.spark, os.path.join(self.root, "bands"), _BANDS_SCHEMA,
             self.table.num_buckets(), merge_keys=["band", "band_hash", "doc_id"],
+            partition_column="doc_id",
         )
         last = self.table.snapshot().get("batch_id")
         if last is not None:
@@ -195,7 +208,7 @@ class SignatureStore:
         batch_id: int,
         text_col: str = "text",
         id_col: str = "doc_id",
-        state_bucket_rep_threshold: int | None = None,
+        state_bucket_rep_threshold: int | None = 64,
     ) -> DataFrame:
         """Near-dup pairs introduced by ``batch_df`` (vs history AND
         within the batch), then append the batch's band keys and
@@ -208,11 +221,20 @@ class SignatureStore:
 
         ``state_bucket_rep_threshold``: state buckets with more members
         than this contribute only their representative (min doc id) to
-        the history↔delta join — the hybrid hot-cluster shape. A delta
-        doc joining a big pure duplicate cluster still pairs with (and
-        Jaccard-verifies against) the representative; what's lost is
-        only the redundant per-member pair fan-out. Skipped member count
-        lands in ``self.last_state_rep_skips`` (never silent).
+        the history↔delta join — the hybrid hot-cluster shape.
+        DEFAULTS ON (64, the exact-pairs bound
+        :func:`bucket_candidate_edges` uses) because the stateful tier
+        is where boilerplate clusters ACCUMULATE across batches — the
+        worst-growth case must be protected on the default path. Pass
+        ``None`` to disable (exact fan-out against every member). A
+        delta doc joining a big PURE duplicate cluster still pairs with
+        (and Jaccard-verifies against) the representative — only the
+        redundant per-member fan-out is lost; for an IMPURE hot bucket,
+        a delta doc whose only true neighbor is a non-representative
+        member can lose that pair (there is no connected-components
+        recovery in the pairs output). Skipped member count lands in
+        ``self.last_state_rep_skips`` (never silent) — monitor it and
+        lower/raise the threshold per corpus.
         """
         self._ensure_band_index()
         delta_sig = minhash_signatures(
@@ -332,7 +354,14 @@ class SignatureStore:
                 }
             self.table.commit(
                 replaced, _STATE_SCHEMA, batch_id,
-                {"appended_docs": None, "kind": "signature-append"},
+                # the rep-skip accounting rides the commit ledger so the
+                # "no silent caps" evidence is durable, not session-local
+                {
+                    "appended_docs": None,
+                    "kind": "signature-append",
+                    "state_rep_skips": self.last_state_rep_skips,
+                    "state_rep_threshold": state_bucket_rep_threshold,
+                },
             )
             return out
         finally:

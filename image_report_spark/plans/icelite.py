@@ -86,13 +86,22 @@ class IceliteTable:
         num_buckets: int = 32,
         format_version: int = 1,
         merge_keys: list[str] | None = None,
+        partition_column: str | None = None,
     ) -> "IceliteTable":
         """``merge_keys`` is a table property (like Iceberg's identifier
         fields): the key columns the merge-on-read resolve window
         partitions by. Defaults to the transcript key ``(conv_id,
         turn_idx)``; side tables with other shapes (e.g. the signature
         store's ``doc_id``) MUST set their own, or delta-file reads
-        would fail on missing columns."""
+        would fail on missing columns.
+
+        ``partition_column`` records WHICH column the writer buckets by
+        (``p = pmod(xxhash64(col), num_buckets)``) in partition_spec —
+        metadata a consumer may trust for bucket routing/pruning, so it
+        must match the writer's actual physical layout. Defaults to
+        ``merge_keys[0]``; a writer that buckets by something else (e.g.
+        the band index buckets by doc_id, not its first merge key) MUST
+        say so here."""
         t = cls(spark, root)
         if t.exists():
             raise FileExistsError(f"table already exists at {root}")
@@ -101,6 +110,10 @@ class IceliteTable:
         missing = [k for k in keys if k not in names]
         if missing:
             raise ValueError(f"merge_keys {missing} not in table schema")
+        if partition_column is not None and partition_column not in names:
+            raise ValueError(
+                f"partition_column {partition_column!r} not in table schema"
+            )
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         snap = {
@@ -111,7 +124,7 @@ class IceliteTable:
             "schema": logical_schema.jsonValue(),
             "partition_spec": {
                 "kind": "bucket",
-                "column": keys[0],
+                "column": partition_column or keys[0],
                 "num_buckets": num_buckets,
             },
             "merge_keys": keys,

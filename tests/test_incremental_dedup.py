@@ -162,7 +162,41 @@ def test_hot_state_bucket_rep_threshold(spark, store):
     # never-silent accounting: every exploded band of the 40-member
     # bucket skipped its 39 non-representatives
     assert store.last_state_rep_skips == 39 * store.bands
-    # default (no threshold) resets the accounting and stays exact
-    p2 = store.neardup_batch(_df(spark, [(600, boiler)]), 2)
+    # threshold=None disables the guard: exact fan-out against every
+    # member, accounting reset to None
+    p2 = store.neardup_batch(
+        _df(spark, [(600, boiler)]), 2, state_bucket_rep_threshold=None
+    )
     assert store.last_state_rep_skips is None
     assert {(r.id_a, r.id_b) for r in p2.collect()} >= {(100, 600), (500, 600)}
+
+
+def test_hot_state_default_threshold_protects_accumulated_boilerplate(
+    spark, store
+):
+    """The DEFAULT path (no kwarg anywhere) must stay linear when a
+    boilerplate cluster accumulates across batches — the stateful tier's
+    worst-growth case (VERDICT r4 #1). Three batches accumulate a
+    90-member pure cluster in state; the next delta doc joining it emits
+    only the representative pair instead of a 90-member fan-out, with the
+    skip count surfaced both live and in the commit ledger."""
+    boiler = "standard legal disclaimer text repeated on every single page"
+    for b in range(3):  # 30 + 30 + 30 accumulated members
+        store.neardup_batch(
+            _df(spark, [(1000 * b + i, boiler) for i in range(30)]), b
+        )
+        # below the default 64-threshold nothing is skipped (exact mode)
+        assert store.last_state_rep_skips == 0
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in store.neardup_batch(_df(spark, [(9000, boiler)]), 3).collect()
+    }
+    # rep edge caught: the delta dup pairs with the cluster representative
+    assert (0, 9000) in pairs
+    # linear: ONE history-side pair, not 90
+    assert len(pairs) == 1
+    # never silent, live attribute AND durable ledger
+    assert store.last_state_rep_skips == 89 * store.bands
+    ledger = store.table.snapshot()["ledger"]
+    assert ledger["state_rep_skips"] == 89 * store.bands
+    assert ledger["state_rep_threshold"] == 64
