@@ -76,6 +76,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                          "in the same apply once its delta bytes exceed "
                          "this fraction of its base bytes (default: manual "
                          "compaction only)")
+    sp.add_argument("--partstats-mode", choices=["stored", "reverify"],
+                    default="stored",
+                    help="post-write partition stats: 'stored' aggregates "
+                         "the pipeline-computed row hash from a narrow "
+                         "4-column scan; 'reverify' re-hashes the on-disk "
+                         "payload bytes (bit-level write integrity check)")
 
     sp = sub.add_parser("compact")
     sp.add_argument("--table", required=True)
@@ -179,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             grouped_resolve=args.grouped_resolve,
             write_mode=args.write_mode,
             mor_compact_delta_ratio=args.compact_delta_ratio,
+            partstats_mode=args.partstats_mode,
         )
         eng = CdcEngine.init(spark, args.table, args.checkpoint, config=cfg,
                              dedup_window_batches=args.dedup_window)

@@ -168,6 +168,28 @@ class EngineConfig:
     #: incremental ones; set ~0.2–0.5 for continuously-tailed tables.
     mor_compact_delta_ratio: float | None = None
 
+    #: how the post-write per-partition lineage stats (counts, last LSN,
+    #: order-independent checksum) are computed. "stored" (default): the
+    #: per-row checksum hash is computed INSIDE the merge pipeline and
+    #: persisted in the written files, so the stats read-back is a narrow
+    #: scan of four fixed-width columns — at 100 TB the write path does
+    #: not re-read every payload byte it just wrote. "reverify": recompute
+    #: the hash from the on-disk payload bytes — a bit-level end-to-end
+    #: write integrity check for low-trust storage (the pre-round-5
+    #: behavior; 15-25% of apply wall at sf0.1). Checksums are identical
+    #: in both modes (tests/test_partstats.py).
+    partstats_mode: str = "stored"
+
+    #: in "stored" mode, when a batch touches at most this many partitions
+    #: the per-partition stats ride the WRITE JOB ITSELF as conditional
+    #: ``observe()`` aggregates (4 per touched partition) — zero extra
+    #: Spark job, zero read-back bytes. Above the limit (wide tables with
+    #: thousands of buckets, where per-partition observe expressions would
+    #: bloat the plan) the narrow 4-column file read-back is used instead,
+    #: which stays O(partitions) with fixed-width bytes. 0 disables the
+    #: observe tier entirely.
+    partstats_observe_limit: int = 64
+
     selected_metrics: set[str] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -191,6 +213,12 @@ class EngineConfig:
             raise ValueError(
                 f"update_missing must be upsert|quarantine, got {self.update_missing!r}"
             )
+        if self.partstats_mode not in ("stored", "reverify"):
+            raise ValueError(
+                f"partstats_mode must be stored|reverify, got {self.partstats_mode!r}"
+            )
+        if self.partstats_observe_limit < 0:
+            raise ValueError("partstats_observe_limit must be >= 0")
         if self.num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
         if self.mor_broadcast_key_limit < 0:

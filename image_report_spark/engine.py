@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -66,6 +67,73 @@ TRANSCRIPT_SCHEMA = StructType(
         StructField("ts", TimestampType(), True),
     ]
 )
+
+
+#: narrow read-back schema for ``partstats_mode="stored"`` — the stats
+#: aggregation needs only these four fixed-width columns; payload bytes
+#: stay on disk (parquet schema projection skips their column chunks)
+_PARTSTATS_SCHEMA = StructType(
+    [
+        StructField(PART_COL, IntegerType(), False),
+        StructField("_lsn", LongType(), True),
+        StructField("_op", StringType(), True),
+        StructField("_h", LongType(), True),
+    ]
+)
+
+
+def _live_row_hash(df: DataFrame, checksum_cols: list[str]):
+    """Per-row content hash of LIVE rows — NULL for tombstones so the
+    partition ``bit_xor`` skips them. This is the unit of the
+    order-independent partition checksum (functions/digests.py:54-73)."""
+    return F.when(
+        F.col("_op") != "D",
+        F.xxhash64(F.concat_ws(SEP, *canonical_cols(df, checksum_cols))),
+    )
+
+
+def _written_partition_stats(
+    spark: SparkSession,
+    root: str,
+    files: dict[int, list[str]],
+    logical: StructType,
+    checksum_cols: list[str],
+    mode: str,
+) -> list:
+    """Per-partition lineage (row counts, live rows, last applied LSN,
+    order-independent checksum) aggregated from freshly WRITTEN files.
+
+    ``mode="stored"`` (default): the per-row hash ``_h`` was already
+    computed INSIDE the merge pipeline (JVM-side, riding the single
+    write execution) and persisted in the files, so the read-back is a
+    narrow scan of four fixed-width columns — at 100 TB the write path
+    no longer re-reads every payload byte it just wrote (measured at
+    sf0.1 / 2 M x 8: the payload re-read was 15-25% of apply wall,
+    BENCH/BASELINE.md round 5). ``mode="reverify"``: recompute the hash
+    from the on-disk payload bytes — a bit-level end-to-end write
+    integrity check, the right paranoia for low-trust storage. Both
+    modes produce identical checksums (pinned in tests/test_partstats.py).
+    """
+    from image_report_spark.plans.icelite import physical_schema
+
+    written_paths = [os.path.join(root, f) for fl in files.values() for f in fl]
+    if mode == "reverify":
+        wdf = spark.read.schema(physical_schema(logical)).parquet(*written_paths)
+        h = _live_row_hash(wdf, checksum_cols)
+    else:
+        wdf = spark.read.schema(_PARTSTATS_SCHEMA).parquet(*written_paths)
+        h = F.col("_h")
+    return (
+        wdf.withColumn("h", h)
+        .groupBy(PART_COL)
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_rows"),
+            F.max("_lsn").alias("last_applied_lsn"),
+            F.lpad(F.hex(F.coalesce(F.expr("bit_xor(h)"), F.lit(0))), 16, "0").alias("checksum"),
+        )
+        .collect()
+    )
 
 
 class BatchAborted(RuntimeError):
@@ -458,8 +526,12 @@ class CdcEngine:
             # (measured: 120 s GC in one 64-task stage); instead the pipeline
             # runs exactly once — inside the file write — with ledger stats
             # collected by observe() on that same job, and partition stats
-            # computed afterwards from the freshly WRITTEN columnar files
-            # (which doubles as an end-to-end on-disk integrity check)
+            # computed either by a second observation riding that same job
+            # (tier 1) or from a NARROW fixed-width read-back of the freshly
+            # written files (tier 2, which persists the pipeline-computed
+            # per-row hash `_h` alongside `_salt`; partstats_mode="reverify"
+            # instead re-hashes the on-disk payload bytes as a bit-level
+            # integrity check)
             ev_row = F.col("_src") == 1
             won = ev_row & (F.col("_rn") == 1)
             upsert = F.col("_op").isin("I", "U")
@@ -495,9 +567,45 @@ class CdcEngine:
             # (projecting it away would truncate the known ordering and
             # force a second full sort)
             phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
+            # partition-stats tier 1: when the touched set is small enough,
+            # the per-partition lineage aggregates (count / live / max LSN /
+            # bit_xor checksum) ride the WRITE JOB as a second observation —
+            # 4 conditional aggregates per touched partition, zero extra
+            # Spark job, zero read-back bytes, and the per-row hash `_h` is
+            # DROPPED before the write (an incompressible 8 bytes/row that
+            # only the tier-2 read-back would consume). Above the limit the
+            # narrow fixed-width file read-back (tier 2) keeps the plan size
+            # O(1) and persists `_h` for its own scan; "reverify" skips the
+            # pipeline hash entirely and re-hashes the on-disk payloads.
+            use_pobs = (
+                cfg.partstats_mode == "stored"
+                and 0 < len(touched) <= cfg.partstats_observe_limit
+            )
+            if cfg.partstats_mode == "reverify":
+                to_write = merged.select(*(phys_cols + ["_salt"]))
+            else:
+                to_write = merged.withColumn(
+                    "_h", _live_row_hash(merged, checksum_cols)
+                ).select(*(phys_cols + ["_salt", "_h"]))
+            if use_pobs:
+                pobs = Observation(f"pstats-{batch_id}")
+                # ONE named_struct expression (single py4j call, parsed
+                # JVM-side) — 4 aggregates per touched partition as Column
+                # objects would add ~100s of py4j round-trips per batch to
+                # the plan phase, the very driver overhead being removed
+                entries = ", ".join(
+                    f"'n_{p}', sum(if({PART_COL} = {p}, 1, 0)), "
+                    f"'l_{p}', sum(if({PART_COL} = {p} and _op <> 'D', 1, 0)), "
+                    f"'m_{p}', max(if({PART_COL} = {p}, _lsn, null)), "
+                    f"'x_{p}', bit_xor(if({PART_COL} = {p}, _h, null))"
+                    for p in touched
+                )
+                to_write = to_write.observe(
+                    pobs, F.expr(f"named_struct({entries})").alias("pstats")
+                ).drop("_h")
             _tick("plan")
             files = self.table.write_partition_files(
-                merged.select(*(phys_cols + ["_salt"])), batch_id, pre_partitioned=True
+                to_write, batch_id, pre_partitioned=True
             )
             stats = obs.get
             _tick("write+merge")
@@ -512,31 +620,31 @@ class CdcEngine:
                 self.checkpoint.write_seen_lsns, batch_id, events.select("lsn")
             )
 
-            # per-partition lineage from the written files: counts +
-            # last LSN + order-independent digest over the on-disk bytes
-            from image_report_spark.plans.icelite import physical_schema
-
-            written_paths = [
-                os.path.join(self.table.root, f)
-                for fl in files.values()
-                for f in fl
-            ]
-            wdf = self.spark.read.schema(physical_schema(evolved)).parquet(*written_paths)
-            live_hash = F.when(
-                F.col("_op") != "D",
-                F.xxhash64(F.concat_ws(SEP, *canonical_cols(wdf, checksum_cols))),
-            )  # NULL for tombstones -> bit_xor skips them
-            part_rows = (
-                wdf.withColumn("h", live_hash)
-                .groupBy(PART_COL)
-                .agg(
-                    F.count(F.lit(1)).alias("row_count"),
-                    F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_rows"),
-                    F.max("_lsn").alias("last_applied_lsn"),
-                    F.lpad(F.hex(F.coalesce(F.expr("bit_xor(h)"), F.lit(0))), 16, "0").alias("checksum"),
+            # per-partition lineage: already collected by the write job's
+            # observation (tier 1), else a narrow scan of the written files
+            # ("stored" tier 2) or a full payload re-hash ("reverify")
+            if use_pobs:
+                pv = pobs.get["pstats"]
+                part_rows = [
+                    {
+                        PART_COL: p,
+                        "row_count": int(pv[f"n_{p}"] or 0),
+                        "live_rows": int(pv[f"l_{p}"] or 0),
+                        "last_applied_lsn": pv[f"m_{p}"],
+                        # match F.lpad(F.hex(bigint)): unsigned 64-bit,
+                        # uppercase, zero-padded to 16
+                        "checksum": format(
+                            (pv[f"x_{p}"] or 0) & 0xFFFFFFFFFFFFFFFF, "016X"
+                        ),
+                    }
+                    for p in touched
+                    if p in files
+                ]
+            else:
+                part_rows = _written_partition_stats(
+                    self.spark, self.table.root, files, evolved, checksum_cols,
+                    cfg.partstats_mode,
                 )
-                .collect()
-            )
             _tick("partstats")
             rpt.applied = int(stats["applied"] or 0)
             rpt.inserts = int(stats["ins"] or 0)
@@ -899,30 +1007,16 @@ class CdcEngine:
             }
         parts = [e["partition"] for e in dirty]
         resolved = self.table.read(partitions=parts, with_lineage=True)
+        resolved = resolved.withColumn(
+            "_h", _live_row_hash(resolved, checksum_cols)
+        )
         label = f"c{snap['snapshot_id']:05d}"
         files = self.table.write_partition_files(
             resolved, batch_id=snap["snapshot_id"], dir_label=label
         )
-        from image_report_spark.plans.icelite import physical_schema
-
-        written_paths = [
-            os.path.join(self.table.root, f) for fl in files.values() for f in fl
-        ]
-        wdf = self.spark.read.schema(physical_schema(logical)).parquet(*written_paths)
-        live_hash = F.when(
-            F.col("_op") != "D",
-            F.xxhash64(F.concat_ws(SEP, *canonical_cols(wdf, checksum_cols))),
-        )
-        part_rows = (
-            wdf.withColumn("h", live_hash)
-            .groupBy(PART_COL)
-            .agg(
-                F.count(F.lit(1)).alias("row_count"),
-                F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_rows"),
-                F.max("_lsn").alias("last_applied_lsn"),
-                F.lpad(F.hex(F.coalesce(F.expr("bit_xor(h)"), F.lit(0))), 16, "0").alias("checksum"),
-            )
-            .collect()
+        part_rows = _written_partition_stats(
+            self.spark, self.table.root, files, logical, checksum_cols,
+            self.config.partstats_mode,
         )
         replaced = {}
         for r in part_rows:
