@@ -1007,9 +1007,13 @@ class CdcEngine:
             }
         parts = [e["partition"] for e in dirty]
         resolved = self.table.read(partitions=parts, with_lineage=True)
-        resolved = resolved.withColumn(
-            "_h", _live_row_hash(resolved, checksum_cols)
-        )
+        if self.config.partstats_mode == "stored":
+            # persist the pipeline-computed row hash for the narrow stats
+            # read-back; reverify re-hashes the on-disk payloads instead,
+            # so don't pay 8 incompressible bytes/row for an unread column
+            resolved = resolved.withColumn(
+                "_h", _live_row_hash(resolved, checksum_cols)
+            )
         label = f"c{snap['snapshot_id']:05d}"
         files = self.table.write_partition_files(
             resolved, batch_id=snap["snapshot_id"], dir_label=label

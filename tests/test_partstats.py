@@ -188,6 +188,35 @@ def test_reverify_checksum_comes_from_disk_bytes(spark, tmp_path):
     assert reverified[0]["checksum"] != entry["checksum"]
 
 
+def test_mor_compaction_digest_equal_across_partstats_modes(spark, tmp_path):
+    """MOR compaction routes its stats through the same tiered path: a
+    compacted table must land on the identical digest whether the hash is
+    persisted+aggregated ("stored") or re-derived from the on-disk payloads
+    ("reverify") — and reverify-mode compacted files must NOT carry the
+    unread ``_h`` column (8 incompressible bytes/row for nothing)."""
+    digests, h_cols = {}, {}
+    for mode in ("stored", "reverify"):
+        eng = CdcEngine.init(
+            spark,
+            str(tmp_path / mode / "tbl"),
+            str(tmp_path / mode / "cp"),
+            config=EngineConfig(
+                num_buckets=4, write_mode="mor", partstats_mode=mode
+            ),
+        )
+        eng.apply_batch(_events_df(spark), 0)
+        out = eng.compact()
+        assert out["compacted_partitions"] > 0
+        digests[mode] = out["table_digest"]
+        snap = eng.table.snapshot()
+        f = next(e["files"][0] for e in snap["manifest"] if e["files"])
+        h_cols[mode] = "_h" in spark.read.parquet(
+            os.path.join(eng.table.root, f)
+        ).columns
+    assert digests["stored"] == digests["reverify"] is not None
+    assert h_cols == {"stored": True, "reverify": False}
+
+
 def test_second_batch_and_reapply_stable_under_observe_tier(spark, tmp_path):
     """Digest carry-forward + crash-resume idempotence hold on the default
     (observe) tier: re-applying batch 1 must be a no-op with the same
