@@ -46,7 +46,9 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, 10_000_000, 1, cpus).select(F.sum(F.xxhash64("id") % F.lit(1_000_000_000))).collect()
 t0 = time.monotonic()
 if kind == "cpu":
-    spark.range(0, rows, 1, cpus * 4).select(F.sum(F.xxhash64("id") % F.lit(1_000_000_000))).collect()
+    # 4x rows: hashing a range is ~80x faster per row than the string
+    # workloads, and sub-2s legs drown in per-job scheduling overhead
+    spark.range(0, rows * 4, 1, cpus * 4).select(F.sum(F.xxhash64("id") % F.lit(1_000_000_000))).collect()
 elif kind == "shuffle":
     df = spark.range(0, rows // 20, 1, cpus * 4).select(
         (F.col("id") % 1_000_000).alias("k"),
@@ -90,21 +92,27 @@ def leg(cpus: int, rows: int, kind: str) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=2_000_000_000)
+    ap.add_argument("--rows", type=int, default=2_000_000_000,
+                    help="row count for the cpu kind; shuffle/write use "
+                         "rows//20 materialized ~80-byte rows")
     ap.add_argument("--pair", type=int, nargs=2, default=(8, 32))
     ap.add_argument("--kinds", nargs="+", default=["cpu", "shuffle"],
                     choices=["cpu", "shuffle", "write"])
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repeat the whole kind x cpus grid; one JSON "
+                         "line per rep (interleaving cancels weather drift)")
     args = ap.parse_args()
     lo, hi = args.pair
-    res = {"controls": [], "legs": {}}
-    for kind in args.kinds:
-        for cpus in (lo, hi):
-            res["controls"].append(round(control(), 2))
-            res["legs"][f"{kind}@{cpus}"] = round(leg(cpus, args.rows, kind), 2)
-    for kind in args.kinds:
-        tlo, thi = res["legs"][f"{kind}@{lo}"], res["legs"][f"{kind}@{hi}"]
-        res[f"eff_{kind}"] = round((tlo / thi) / (hi / lo), 3)
-    print(json.dumps(res))
+    for rep in range(args.reps):
+        res = {"rep": rep, "controls": [], "legs": {}}
+        for kind in args.kinds:
+            for cpus in (lo, hi):
+                res["controls"].append(round(control(), 2))
+                res["legs"][f"{kind}@{cpus}"] = round(leg(cpus, args.rows, kind), 2)
+        for kind in args.kinds:
+            tlo, thi = res["legs"][f"{kind}@{lo}"], res["legs"][f"{kind}@{hi}"]
+            res[f"eff_{kind}"] = round((tlo / thi) / (hi / lo), 3)
+        print(json.dumps(res), flush=True)
     return 0
 
 
