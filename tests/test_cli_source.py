@@ -116,3 +116,64 @@ def test_sql_history_changes_cli(tmp_path, capsys):
                         "--from-snapshot", str(hist[-2]["snapshot_id"])]) == 0
     ch = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert ch and all("_lsn" in r and "_op" in r for r in ch)
+
+
+def test_footer_schema_matches_spark_inference(spark, tmp_path):
+    """The driver-side pyarrow footer read must produce the SAME schema the
+    Spark parquet scan would infer — including the timestamp variant
+    (tz-aware → TIMESTAMP LTZ, naive → NTZ under the default
+    inferTimestampNTZ=true) — or batches read through the fast path would
+    silently change types vs the fallback path."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_spark.sources.changelog import ChangeLogSource
+
+    # (a) Spark-written batch dir (UTC-adjusted timestamps, nested dir form)
+    sp = str(tmp_path / "batch-0.parquet")
+    spark.createDataFrame(
+        [(1, "I", "c1", 0, datetime.datetime(2026, 1, 1, 12, 0, 0))],
+        "lsn long, op string, conv_id string, turn_idx int, ts timestamp",
+    ).coalesce(1).write.parquet(sp)
+    # (b) pyarrow-written single file with a NAIVE timestamp + evolved col
+    py = str(tmp_path / "batch-1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "lsn": pa.array([2], pa.int64()),
+                "op": ["U"],
+                "conv_id": ["c1"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "ts": pa.array(
+                    [datetime.datetime(2026, 1, 1, 12, 0, 0)],
+                    pa.timestamp("us"),
+                ),
+                "tool": ["grep"],
+            }
+        ),
+        py,
+    )
+    from image_report_spark.sources.changelog import _footer_schema, _read_parquet
+
+    src = ChangeLogSource(spark, str(tmp_path))
+    for path in (sp, py):
+        assert _footer_schema(spark, path) is not None, path  # fast path taken
+        fast = _read_parquet(spark, path)
+        inferred = spark.read.parquet(path)
+        assert [(f.name, f.dataType) for f in fast.schema.fields] == [
+            (f.name, f.dataType) for f in inferred.schema.fields
+        ], path
+        assert fast.count() == 1
+        # normalize_header then lands both variants on the canonical LTZ
+        assert dict(src.read_batch(path).dtypes)["ts"] == "timestamp"
+    # the fast path must not hide the evolved column
+    assert "tool" in src.read_batch(py).columns
+
+
+def test_footer_schema_falls_back_on_remote_paths(spark):
+    from image_report_spark.sources.changelog import _footer_schema
+
+    assert _footer_schema(spark, "s3://bucket/batch-0.parquet") is None
+    assert _footer_schema(spark, "hdfs://nn/batch-0.parquet") is None
