@@ -63,6 +63,7 @@ def run_leg(spark, limit: int, n_events: int, n_batches: int, seed: int) -> dict
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     from bench import build_spark
 
     spark = build_spark(32)
@@ -70,7 +71,7 @@ def main() -> None:
     run_leg(spark, 64, 50_000, 2, seed=99)
     # interleave A/B/A/B to cancel slow weather drift
     legs = []
-    for rep in range(2):
+    for rep in range(reps):
         for limit in (64, 256):
             legs.append(run_leg(spark, limit, n_events, n_batches, seed=7))
             print(json.dumps(legs[-1]), flush=True)
