@@ -44,6 +44,11 @@ def build_session(master: str | None, shuffle_partitions: int) -> SparkSession:
         # user call site — measured ~0.3-0.5 s of pure driver time per apply
         # batch (plus a one-time IPython import). Batch engines want it off.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # touched-partition reads pass O(100) explicit file paths; above
+        # this threshold Spark launches a distributed file-listing JOB per
+        # read (default 32 paths) — driver-side stat of local/object-store
+        # paths is faster than a job round-trip at any realistic manifest
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -121,11 +121,15 @@ CODECS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def normalize_header(df: DataFrame) -> DataFrame:
-    """Cast the event-header columns to canonical types (codec-agnostic)."""
-    for name, typ in HEADER_TYPES.items():
-        if name in df.columns:
-            df = df.withColumn(name, F.col(name).cast(typ))
-    return df
+    """Cast the event-header columns to canonical types (codec-agnostic).
+    One ``withColumns`` call, not five ``withColumn``s — each DataFrame op
+    is a py4j round-trip plus a new analysis node on the driver."""
+    casts = {
+        name: F.col(name).cast(typ)
+        for name, typ in HEADER_TYPES.items()
+        if name in df.columns
+    }
+    return df.withColumns(casts) if casts else df
 
 
 class ChangeLogSource:
