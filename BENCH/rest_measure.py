@@ -42,6 +42,31 @@ def control_secs() -> float:
     return time.monotonic() - t0
 
 
+def preload(secs: float) -> None:
+    """Multi-threaded warm load BEFORE the timed attempt. The round-5
+    r01-vs-HEAD head-to-head measured a systematic ~1.6× SECOND-leg
+    advantage in both orders: after a long idle rest the host governor
+    ramps up under sustained load over ~minutes, so the first leg out of
+    a rest runs on a cold governor. This burns parallel CPU+memory for
+    `secs` to ramp the host before measuring (distinct from the burst
+    budget the rest refills — that drains under load; the measured net
+    of the two effects at bench-leg length favors warm)."""
+    import multiprocessing as mp
+
+    def burn(stop_at: float) -> None:
+        x = np.ones(8_000_000)
+        while time.monotonic() < stop_at:
+            x = (x * 1.0000001) + 0.5
+            x.sort()
+
+    stop_at = time.monotonic() + secs
+    procs = [mp.Process(target=burn, args=(stop_at,)) for _ in range(16)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+
+
 def bandwidth_gbps() -> float:
     """Steady-state memcpy bandwidth: 512 MB copy, last of 4 passes
     (first passes absorb allocation + the drained-pool ramp)."""
@@ -87,6 +112,11 @@ def main() -> int:
     ap.add_argument("--no-stop", action="store_true",
                     help="run all cycles even after an r01-beating attempt "
                          "(an A/B needs both arms, not an early exit)")
+    ap.add_argument("--preload-secs", type=float, default=0.0,
+                    help="burn parallel CPU+memory for S seconds after the "
+                         "rest, before the probes+attempt (governor ramp — "
+                         "see preload(); 'alternate' A/B via odd/even cycles "
+                         "is NOT built in, run two campaigns)")
     args = ap.parse_args()
     log_path = os.path.join(REPO, "BENCH", "rest_measure.jsonl")
 
@@ -97,6 +127,9 @@ def main() -> int:
         print(f"# cycle {i}: resting {args.rest_secs:.0f}s"
               + (f" (codec {codec})" if codec else ""), flush=True)
         time.sleep(args.rest_secs)
+        if args.preload_secs > 0:
+            print(f"# cycle {i}: preloading {args.preload_secs:.0f}s", flush=True)
+            preload(args.preload_secs)
         bw = bandwidth_gbps()
         ctl = statistics.median(control_secs() for _ in range(3))
         print(f"# cycle {i}: bw {bw:.1f} GB/s, control {ctl:.3f}s", flush=True)
@@ -109,6 +142,8 @@ def main() -> int:
         }
         if codec:
             rec["codec"] = codec
+        if args.preload_secs > 0:
+            rec["preload_secs"] = args.preload_secs
         if result is None:
             rec["kind"] = "attempt_failed"
         else:
