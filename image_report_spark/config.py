@@ -145,6 +145,52 @@ class EngineConfig:
     #: conservation equations match copy-on-write batch for batch.
     write_mode: str = "cow"
 
+    #: copy-on-write APPEND fast-path. A touched partition whose batch
+    #: slice is pure inserts (every event op == 'I') and whose keys have
+    #: ZERO overlap with the incumbent's keys (verified by a keys-only
+    #: columnar scan + semi-join — live rows AND tombstones both count as
+    #: overlap, so appended partitions keep the one-live-row-per-key
+    #: invariant) is APPENDED instead of rewritten: the batch's resolved
+    #: winners land in a new file, the incumbent files carry forward in
+    #: the manifest verbatim, and the partition's lineage stats combine
+    #: exactly (the checksum is an order-independent ``bit_xor`` of
+    #: per-row hashes, so ``old XOR new`` equals what a full rewrite
+    #: would store; guarded by a per-entry checksum-column-set id so a
+    #: schema evolution can never combine hashes computed over different
+    #: column sets). Insert-heavy streams go from O(table-rewrite) per
+    #: batch to O(batch): a bulk load of N batches writes each row once
+    #: instead of N/2 times — at 100 TB that's the difference between a
+    #: load that works and one that re-encodes the table every batch.
+    #: Update/delete-containing buckets take the normal merge path with
+    #: zero added cost (the classification scan only runs on all-insert
+    #: buckets). False forces full rewrites (pre-round-5 behavior).
+    #:
+    #: Two detection tiers:
+    #: * METADATA (always on with the fast-path): per-partition key
+    #:   [lo, hi] zone maps stored in the manifest vs the batch bucket's
+    #:   key range from the prepass — strictly disjoint ranges prove key
+    #:   disjointness with ZERO extra jobs. Monotonic insert keys
+    #:   (auto-increment ids, snowflakes, event time — the classic CDC
+    #:   insert pattern) append on metadata alone.
+    #: * SCAN (gated by ``cow_append_scan_min_ratio``): a keys-only
+    #:   columnar scan of the remaining candidates semi-joined with the
+    #:   batch's keys — catches interleaved-but-disjoint key sets the
+    #:   zone maps can't prove.
+    cow_append_fastpath: bool = True
+
+    #: gate for the append fast-path's SCAN tier: the keys-only overlap
+    #: scan runs only when the candidates' incumbent rows (the rewrite
+    #: it would avoid) are at least this multiple of the batch rows
+    #: landing in them (the scan's cost scales with incumbent keys; the
+    #: saving scales with incumbent payload bytes). ``None`` (default)
+    #: disables the scan tier: it costs two extra Spark jobs per
+    #: insert-only batch, and the sandbox's congested windows have not
+    #: yet yielded a clean measurement proving it nets out at bench
+    #: shape (BENCH/BASELINE.md round 5 records the attempts); the
+    #: zero-cost metadata tier stays on regardless. Set ~2-4 on tables
+    #: with wide payloads and random-key insert streams.
+    cow_append_scan_min_ratio: float | None = None
+
     #: MOR classification join strategy gate: when the batch's VALID event
     #: count (an upper bound on its distinct key count, free from the
     #: bucket pre-pass) is at or below this, the delta key set and the

@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import sys
 import time
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -75,11 +76,24 @@ TRANSCRIPT_SCHEMA = StructType(
 _PARTSTATS_SCHEMA = StructType(
     [
         StructField(PART_COL, IntegerType(), False),
+        StructField("conv_id", StringType(), True),
         StructField("_lsn", LongType(), True),
         StructField("_op", StringType(), True),
         StructField("_h", LongType(), True),
     ]
 )
+
+
+def _checksum_cols_id(checksum_cols: list[str]) -> str:
+    """Short stable id of the checksum column SET a partition entry's
+    ``checksum`` was computed over. The append fast-path may only
+    xor-combine an old entry's checksum with fresh per-row hashes when
+    both were computed over the same column set — after an additive
+    schema evolution on a table without frozen ``checksum_columns`` the
+    set changes, old entries stop matching, and those partitions fall
+    back to a full rewrite (which re-hashes them under the new set and
+    restores appendability)."""
+    return format(zlib.crc32("\x1f".join(checksum_cols).encode()), "08x")
 
 
 def _live_row_hash(df: DataFrame, checksum_cols: list[str]):
@@ -131,6 +145,9 @@ def _written_partition_stats(
             F.sum(F.when(F.col("_op") != "D", 1).otherwise(0)).alias("live_rows"),
             F.max("_lsn").alias("last_applied_lsn"),
             F.lpad(F.hex(F.coalesce(F.expr("bit_xor(h)"), F.lit(0))), 16, "0").alias("checksum"),
+            # zone map for the append fast-path's metadata tier
+            F.min("conv_id").alias("key_lo"),
+            F.max("conv_id").alias("key_hi"),
         )
         .collect()
     )
@@ -156,6 +173,10 @@ class BatchReport:
     rows_before: int = 0
     rows_after: int = 0
     partitions_touched: int = 0
+    #: touched partitions taken by the copy-on-write append fast-path
+    #: (all-insert batch slice, zero key overlap with the incumbent —
+    #: incumbent files carried forward, stats xor-combined)
+    partitions_appended: int = 0
     wall_ms: int = 0
     table_digest: str | None = None
     #: partitions auto-compacted by ``mor_compact_delta_ratio`` after this
@@ -170,6 +191,8 @@ class BatchReport:
             "partitions_touched": self.partitions_touched,
             "format_version": 1,
         }
+        if self.partitions_appended:
+            base["partitions_appended"] = self.partitions_appended
         for k in (
             "events_read applied deduped superseded quarantined "
             "rows_before inserts updates deletes rows_after".split()
@@ -349,6 +372,30 @@ class CdcEngine:
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.when(malformed, 1).otherwise(0)).alias("bad"),
+                # valid non-insert events per bucket: the append fast-path
+                # gate (a bucket qualifies only when this is zero) rides
+                # the SAME map-side-combined prepass aggregate — no extra
+                # job, no extra scan
+                F.sum(
+                    F.when(~malformed & (F.col("op") != "I"), 1).otherwise(0)
+                ).alias("noni"),
+                # per-bucket key range (zone map): lets the fast-path prove
+                # key-disjointness against the manifest's stored per-
+                # partition [key_lo, key_hi] WITHOUT any incumbent scan —
+                # monotonic insert keys (auto-increment ids, snowflakes,
+                # event time) append on metadata alone
+                F.min(F.when(~malformed, F.col("conv_id"))).alias("klo"),
+                F.max(F.when(~malformed, F.col("conv_id"))).alias("khi"),
+                # null merge keys: SQL equality never matches them (the scan
+                # tier would miss the overlap) yet the merge window groups
+                # them — buckets carrying any null key never fast-path
+                F.sum(
+                    F.when(
+                        ~malformed
+                        & (F.col("conv_id").isNull() | F.col("turn_idx").isNull()),
+                        1,
+                    ).otherwise(0)
+                ).alias("nullk"),
             )
             .collect()
         )
@@ -467,7 +514,125 @@ class CdcEngine:
                 if hot_buckets
                 else F.lit(0)
             )
-            incumbent = self._read_physical(touched, evolved).withColumn(
+            # COW append fast-path: partitions whose batch slice is pure
+            # inserts with zero key overlap against the incumbent are
+            # APPENDED — their incumbents never enter the union (no read,
+            # no re-sort, no re-encode); manifest stats xor-combine below.
+            # The overlap check is a keys-only columnar scan (3 narrow
+            # columns) of candidate partitions semi-joined with the
+            # batch's keys; update/delete buckets skip it entirely.
+            ck_id = _checksum_cols_id(checksum_cols)
+            append_parts: set[int] = set()
+            if cfg.cow_append_fastpath:
+                insert_only = {
+                    int(r[PART_COL])
+                    for r in bucket_rows
+                    if int(r["noni"] or 0) == 0
+                    and int(r["nullk"] or 0) == 0
+                    and int(r["n"]) - int(r["bad"] or 0) > 0
+                }
+                cand = [
+                    p
+                    for p in touched
+                    if p in insert_only
+                    and (e := old_entries.get(p)) is not None
+                    and e.get("files")
+                    and not e.get("delta_files")
+                    and e.get("checksum") is not None
+                    and e.get("ck_id") == ck_id
+                ]
+                # tier 1 — METADATA: the batch bucket's key range (from the
+                # prepass) vs the entry's stored zone map. Strictly disjoint
+                # conv_id ranges ⇒ keys disjoint ⇒ append, zero extra jobs.
+                bucket_range = {
+                    int(r[PART_COL]): (r["klo"], r["khi"]) for r in bucket_rows
+                }
+                for p in list(cand):
+                    e = old_entries[p]
+                    lo, hi = e.get("key_lo"), e.get("key_hi")
+                    blo, bhi = bucket_range.get(p, (None, None))
+                    if (
+                        lo is not None
+                        and hi is not None
+                        and blo is not None
+                        and bhi is not None
+                        and (bhi < lo or blo > hi)
+                    ):
+                        append_parts.add(p)
+                        cand.remove(p)
+                # tier 2 — SCAN: remaining candidates get the keys-only
+                # columnar scan + semi-join (range overlap is NOT key
+                # overlap: interleaved-but-distinct keys still append
+                # here). Ratio-gated: only worth two extra jobs when the
+                # avoided rewrite is a large multiple of the appended rows.
+                scan_ratio = cfg.cow_append_scan_min_ratio
+                if scan_ratio is None:
+                    cand = []
+                elif cand:
+                    inc_rows = sum(
+                        int(old_entries[p]["row_count"]) for p in cand
+                    )
+                    cand_rows = sum(
+                        int(r["n"]) - int(r["bad"] or 0)
+                        for r in bucket_rows
+                        if int(r[PART_COL]) in set(cand)
+                    )
+                    if inc_rows < scan_ratio * max(cand_rows, 1):
+                        cand = []
+                if cand:
+                    from image_report_spark.plans.icelite import physical_schema
+
+                    phys = physical_schema(evolved)
+                    key_fields = {PART_COL, "conv_id", "turn_idx"}
+                    narrow = StructType(
+                        [f for f in phys.fields if f.name in key_fields]
+                    )
+                    cand_set = set(cand)
+                    cand_files = [
+                        os.path.join(self.table.root, f)
+                        for p in cand
+                        for f in old_entries[p]["files"]
+                    ]
+                    # ALL incumbent rows count as overlap — including
+                    # tombstones, so an appended partition never holds two
+                    # physical rows for one key
+                    inc_keys = self.spark.read.schema(narrow).parquet(*cand_files)
+                    # key source is the PRE-dedup `good` frame, not `events`:
+                    # recomputing the boundary/anti-join lineage here would
+                    # cost an extra shuffle + checkpoint read, and a replayed
+                    # event's key exists in the incumbent by definition — it
+                    # classifies its bucket as a rewrite, which is exactly
+                    # where replay detection needs the incumbent rows anyway.
+                    # No distinct(): a semi-join probe side needs no dedup.
+                    bkeys = (
+                        good.withColumn(PART_COL, partition_expr(num_buckets))
+                        .filter(F.col(PART_COL).isin(cand))
+                        .select(PART_COL, "conv_id", "turn_idx")
+                    )
+                    n_cand_events = sum(
+                        int(r["n"]) - int(r["bad"] or 0)
+                        for r in bucket_rows
+                        if int(r[PART_COL]) in cand_set
+                    )
+                    # same broadcast size gate as the MOR classification:
+                    # bulk loads degrade to a shuffled semi-join instead of
+                    # blowing the broadcast limit
+                    if n_cand_events <= cfg.mor_broadcast_key_limit:
+                        bkeys = F.broadcast(bkeys)
+                    matched = {
+                        int(r[PART_COL])
+                        for r in inc_keys.join(
+                            bkeys, [PART_COL, "conv_id", "turn_idx"], "left_semi"
+                        )
+                        .select(PART_COL)
+                        .distinct()
+                        .collect()
+                    }
+                    append_parts |= cand_set - matched
+                    _tick("classify")
+                rpt.partitions_appended = len(append_parts)
+            rewrite_parts = [p for p in touched if p not in append_parts]
+            incumbent = self._read_physical(rewrite_parts, evolved).withColumn(
                 "_src", F.lit(0)
             )
             evt = events.withColumn(PART_COL, partition_expr(num_buckets)).select(
@@ -597,7 +762,9 @@ class CdcEngine:
                     f"'n_{p}', sum(if({PART_COL} = {p}, 1, 0)), "
                     f"'l_{p}', sum(if({PART_COL} = {p} and _op <> 'D', 1, 0)), "
                     f"'m_{p}', max(if({PART_COL} = {p}, _lsn, null)), "
-                    f"'x_{p}', bit_xor(if({PART_COL} = {p}, _h, null))"
+                    f"'x_{p}', bit_xor(if({PART_COL} = {p}, _h, null)), "
+                    f"'a_{p}', min(if({PART_COL} = {p}, conv_id, null)), "
+                    f"'b_{p}', max(if({PART_COL} = {p}, conv_id, null))"
                     for p in touched
                 )
                 to_write = to_write.observe(
@@ -636,6 +803,8 @@ class CdcEngine:
                         "checksum": format(
                             (pv[f"x_{p}"] or 0) & 0xFFFFFFFFFFFFFFFF, "016X"
                         ),
+                        "key_lo": pv[f"a_{p}"],
+                        "key_hi": pv[f"b_{p}"],
                     }
                     for p in touched
                     if p in files
@@ -673,8 +842,13 @@ class CdcEngine:
                     rpt.events_read - rpt.quarantined - n_into_union
                     + int(stats["dups"] or 0)
                 )
+            # appended partitions KEEP their old live rows (incumbent files
+            # carry forward), so only rewritten partitions' old live counts
+            # are displaced by the merge output's live_after
             touched_old_live = sum(
-                old_entries[p]["live_rows"] for p in touched if p in old_entries
+                old_entries[p]["live_rows"]
+                for p in rewrite_parts
+                if p in old_entries
             )
             rpt.rows_after = (
                 rpt.rows_before - touched_old_live + int(stats["live_after"] or 0)
@@ -690,15 +864,49 @@ class CdcEngine:
             replaced = {}
             for r in part_rows:
                 p = int(r[PART_COL])
-                replaced[p] = {
-                    "files": files.get(p, []),
-                    "row_count": int(r["row_count"]),
-                    "live_rows": int(r["live_rows"]),
-                    "checksum": r["checksum"],
-                    "last_applied_lsn": int(r["last_applied_lsn"])
+                new_lal = (
+                    int(r["last_applied_lsn"])
                     if r["last_applied_lsn"] is not None
-                    else None,
-                }
+                    else None
+                )
+                if p in append_parts:
+                    # manifest-level append: old files + the new file(s);
+                    # counts add, checksums xor-combine (order-independent
+                    # bit_xor over live-row hashes — old ⊕ new is EXACTLY
+                    # what a full rewrite of the disjoint-key union would
+                    # have stored, ck_id-guarded above); the zone map takes
+                    # the envelope of both sides (None = unknown poisons it)
+                    old = old_entries[p]
+                    old_lal = old.get("last_applied_lsn")
+                    olo, ohi = old.get("key_lo"), old.get("key_hi")
+                    nlo, nhi = r["key_lo"], r["key_hi"]
+                    replaced[p] = {
+                        "files": list(old["files"]) + files.get(p, []),
+                        "row_count": int(old["row_count"]) + int(r["row_count"]),
+                        "live_rows": int(old["live_rows"]) + int(r["live_rows"]),
+                        "checksum": format(
+                            int(old["checksum"], 16) ^ int(r["checksum"], 16),
+                            "016X",
+                        ),
+                        "last_applied_lsn": max(
+                            (v for v in (old_lal, new_lal) if v is not None),
+                            default=None,
+                        ),
+                        "key_lo": min(olo, nlo) if olo is not None and nlo is not None else None,
+                        "key_hi": max(ohi, nhi) if ohi is not None and nhi is not None else None,
+                        "ck_id": ck_id,
+                    }
+                else:
+                    replaced[p] = {
+                        "files": files.get(p, []),
+                        "row_count": int(r["row_count"]),
+                        "live_rows": int(r["live_rows"]),
+                        "checksum": r["checksum"],
+                        "last_applied_lsn": new_lal,
+                        "key_lo": r["key_lo"],
+                        "key_hi": r["key_hi"],
+                        "ck_id": ck_id,
+                    }
             # table digest over the NEW manifest (replaced + carried forward)
             all_entries = dict(old_entries)
             all_entries.update(replaced)
@@ -1022,6 +1230,7 @@ class CdcEngine:
             self.spark, self.table.root, files, logical, checksum_cols,
             self.config.partstats_mode,
         )
+        ck_id = _checksum_cols_id(checksum_cols)
         replaced = {}
         for r in part_rows:
             p = int(r[PART_COL])
@@ -1034,6 +1243,11 @@ class CdcEngine:
                 "last_applied_lsn": int(r["last_applied_lsn"])
                 if r["last_applied_lsn"] is not None
                 else None,
+                # compacted entries are clean + freshly checksummed, so they
+                # are append-fast-path-eligible for subsequent COW batches
+                "key_lo": r["key_lo"],
+                "key_hi": r["key_hi"],
+                "ck_id": ck_id,
             }
         # digest is defined again only once NO entry still has a pending
         # delta or an undefined checksum
