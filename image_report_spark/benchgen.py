@@ -28,8 +28,20 @@ def synth_changes(
     late_frac: float = 0.05,
     hot_keys: int = 0,
     hot_frac: float = 0.0,
+    arrival: str = "shuffled",
 ) -> pd.DataFrame:
-    """A change stream of ~n_events rows in commit order (lsn = position)."""
+    """A change stream of ~n_events rows in commit order (lsn = position).
+
+    ``arrival="shuffled"`` (default): conversation start times are i.i.d.
+    uniform, so insert keys arrive interleaved across the whole id range —
+    the adversarial shape for any key-locality optimization.
+    ``arrival="sorted"``: start times are sorted by conversation id, so
+    inserts arrive in (roughly) key order — the auto-increment-PK /
+    snowflake-id / event-time CDC pattern, where each micro-batch carries
+    a fresh contiguous key range (exercises the engine's append
+    fast-path's zone-map tier). Updates/deletes still target uniformly
+    random earlier inserts in both modes.
+    """
     rng = np.random.default_rng(seed)
     n_ins = int(n_events * (1 - update_frac - delete_frac))
     n_upd = int(n_events * update_frac)
@@ -44,6 +56,13 @@ def synth_changes(
         ins_conv[:n_hot] = rng.integers(0, hot_keys, size=n_hot)
         ins_turn[:n_hot] = rng.integers(0, turns_per_conv * 50, size=n_hot).astype(np.int32)
     conv_start = rng.uniform(0, 3.6e9, size=n_convs)  # µs offsets
+    if arrival == "sorted":
+        # conv i starts before conv i+1, with start gaps widened so a
+        # conversation's own turn span (≤ turns_per_conv × step ≈ 6e8 µs)
+        # stays small next to the inter-conversation spacing — each
+        # micro-batch then carries a near-contiguous fresh key range,
+        # with only a thin boundary overlap between adjacent batches
+        conv_start = np.sort(rng.uniform(0, 3.6e9, size=n_convs)) * 1e3
     step = rng.uniform(1e6, 3e7, size=n_convs)
     ins_commit = conv_start[ins_conv] + ins_turn * step[ins_conv]
     ins_ts = ins_commit.copy()
