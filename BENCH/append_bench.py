@@ -35,7 +35,8 @@ def _data_bytes(root: str) -> int:
 
 def run_leg(
     spark, fastpath: bool, n_events: int, n_batches: int, seed: int,
-    inserts_only: bool = False,
+    inserts_only: bool = False, arrival: str = "sorted",
+    scan_ratio: float | None = None,
 ) -> dict:
     from image_report_spark.benchgen import write_bench_log
     from image_report_spark.config import EngineConfig
@@ -47,7 +48,7 @@ def run_leg(
         kw = dict(update_frac=0.0, delete_frac=0.0) if inserts_only else {}
         write_bench_log(
             log, n_events * n_batches, n_batches=n_batches, seed=seed,
-            arrival="sorted", **kw,
+            arrival=arrival, **kw,
         )
         tbl = os.path.join(scratch, "tbl")
         eng = CdcEngine.init(
@@ -57,6 +58,7 @@ def run_leg(
             config=EngineConfig(
                 num_buckets=128, shuffle_partitions=64,
                 cow_append_fastpath=fastpath,
+                cow_append_scan_min_ratio=scan_ratio,
             ),
         )
         t0 = time.monotonic()
@@ -87,6 +89,13 @@ def main() -> None:
     # so the off-leg's O(N²) rewrite vs the on-leg's O(N) append shows up
     # directly in wall clock as the table outgrows the batch size
     inserts_only = "--inserts-only" in sys.argv
+    # --arrival shuffled + --scan-ratio R: the SCAN-tier experiment — on
+    # interleaved keys only the keys-only scan can append, so this settles
+    # whether cow_append_scan_min_ratio should default on
+    arrival = "shuffled" if "--arrival-shuffled" in sys.argv else "sorted"
+    scan_ratio = None
+    if "--scan-ratio" in sys.argv:
+        scan_ratio = float(sys.argv[sys.argv.index("--scan-ratio") + 1])
     from bench import build_spark
 
     spark = build_spark(32)
@@ -101,8 +110,12 @@ def main() -> None:
             order = (True, False) if rep % 2 == 0 else (False, True)
             for fp in order:
                 leg = run_leg(spark, fp, n_events, n_batches, seed=7,
-                              inserts_only=inserts_only)
+                              inserts_only=inserts_only, arrival=arrival,
+                              scan_ratio=scan_ratio if fp else None)
                 leg["inserts_only"] = inserts_only
+                leg["arrival"] = arrival
+                if fp and scan_ratio is not None:
+                    leg["scan_ratio"] = scan_ratio
                 legs.append(leg)
                 print(json.dumps(leg), flush=True)
                 out.write(json.dumps(leg) + "\n")
@@ -110,7 +123,7 @@ def main() -> None:
         summary = {
             "digests_equal": len({l["digest"] for l in legs}) == 1,
             "n_events": n_events, "n_batches": n_batches,
-            "arrival": "sorted", "inserts_only": inserts_only,
+            "arrival": arrival, "inserts_only": inserts_only,
         }
         print(json.dumps(summary), flush=True)
         out.write(json.dumps(summary) + "\n")

@@ -291,6 +291,18 @@ class IceliteTable:
         (
             out_df.sortWithinPartitions(*sort_cols)
             .write.partitionBy("p")
+            # data-file codec: zstd writes ~27% fewer bytes than snappy/lz4
+            # on transcript text at the same-or-better wall, and was the
+            # only codec whose apply time stayed flat through host
+            # congestion episodes (5-leg interleaved A/B per codec,
+            # BENCH/datacodec_ab.jsonl + BENCH/BASELINE.md round 5) — on a
+            # bandwidth-bound host, and at 100 TB of storage+I/O, bytes
+            # are the resource. Spark's session default (snappy) was the
+            # slowest of the four tested.
+            .option(
+                "compression",
+                os.environ.get("SPARK_GRAFT_DATA_CODEC", "zstd"),
+            )
             .mode("overwrite")
             .parquet(staging)
         )
