@@ -30,6 +30,8 @@ Everything except the SimHash bit-fold is pure ``pyspark.sql.functions``.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -41,6 +43,25 @@ from image_report_spark.operators.graph import connected_components
 
 # Mersenne prime 2^31−1: keeps (a*h + b) < 2^62, safe under ANSI long math
 MINHASH_PRIME = 2_147_483_647
+
+
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the session's default parallelism
+    before per-row-heavy signature compute.
+
+    The scan-fused stage's parallelism is bounded by the INPUT SPLIT
+    count, not ``spark.sql.shuffle.partitions`` — a few-MB parquet file
+    yields a handful of tasks, so a compute-bound fingerprint pass runs
+    on 4 threads while the other 28 idle (measured: the d2 signature
+    pass at sf1.0 ran 4 tasks wide). One cheap round-robin exchange of
+    (id, text) rows fixes the whole downstream chain. Scale-adaptive:
+    inputs already at/above default parallelism pass through untouched,
+    so a 100 TB scan with thousands of splits pays nothing."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # --------------------------------------------------------------------- exact
@@ -329,8 +350,11 @@ def shingle_hashes(col: Column, n: int = 3) -> Column:
     return F.transform(shingles(col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
 
 
-def minhash_from_hashes(hashes: Column, k: int = 32, seed: int = 13) -> Column:
-    """k-permutation MinHash over a pre-hashed shingle array."""
+def minhash_from_hashes_jvm(hashes: Column, k: int = 32, seed: int = 13) -> Column:
+    """Pure-JVM k-permutation MinHash (k interpreted HOF passes over the
+    shingle array — higher-order functions get no codegen, so this costs
+    k full interpreted traversals per row; kept as the reference
+    implementation the vectorized path is pinned against)."""
     mins = []
     for a, b in _hash_params(k, seed):
         mins.append(
@@ -342,6 +366,78 @@ def minhash_from_hashes(hashes: Column, k: int = 32, seed: int = 13) -> Column:
             )
         )
     return F.array(*mins)
+
+
+_mh_udfs: dict[tuple[int, int], object] = {}
+
+
+def _minhash_vec_udf(k: int, seed: int):
+    """Arrow-vectorized MinHash fold: one numpy broadcast-multiply + one
+    ``np.minimum.reduceat`` segment-min per Arrow batch replaces k
+    interpreted HOF traversals per row (bit-identical: same int64
+    ``(h*a + b) mod p`` arithmetic — h, a < p = 2^31−1 keeps every
+    intermediate < 2^62). Cached per (k, seed); created lazily because
+    ``pandas_udf`` needs an active session."""
+    key = (k, seed)
+    fn = _mh_udfs.get(key)
+    if fn is not None:
+        return fn
+    params = _hash_params(k, seed)
+    av = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    bv = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+
+    def _fold(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hashes in batches:
+            n = len(hashes)
+            res: list = [None] * n
+            lists: list[np.ndarray] = []
+            idxs: list[int] = []
+            for i, arr in enumerate(hashes):
+                if arr is None or len(arr) == 0:
+                    # mirror the JVM path: array_min over an empty/null
+                    # transform yields NULL per permutation
+                    res[i] = [None] * k
+                else:
+                    lists.append(np.asarray(arr, dtype=np.int64))
+                    idxs.append(i)
+            if lists:
+                lens = np.fromiter(
+                    (len(x) for x in lists), dtype=np.int64, count=len(lists)
+                )
+                ends = np.cumsum(lens)
+                flat = np.concatenate(lists)
+                # chunk rows so the (tokens, k) intermediate stays ~64 MB
+                max_tokens = max(262_144 // k * 32, 1024)
+                start_row = 0
+                while start_row < len(lists):
+                    base = ends[start_row - 1] if start_row else 0
+                    end_row = int(
+                        np.searchsorted(ends, base + max_tokens, side="left")
+                    )
+                    end_row = max(end_row, start_row + 1)
+                    seg = flat[base : ends[end_row - 1]]
+                    offs = (
+                        np.concatenate(([0], ends[start_row : end_row - 1] - base))
+                        if end_row > start_row + 1
+                        else np.zeros(1, dtype=np.int64)
+                    )
+                    m = (seg[:, None] * av + bv) % MINHASH_PRIME
+                    sig = np.minimum.reduceat(m, offs, axis=0)
+                    for j in range(start_row, end_row):
+                        res[idxs[j]] = sig[j - start_row]
+                    start_row = end_row
+            yield pd.Series(res)
+
+    fn = pandas_udf(_fold, "array<long>")
+    _mh_udfs[key] = fn
+    return fn
+
+
+def minhash_from_hashes(hashes: Column, k: int = 32, seed: int = 13) -> Column:
+    """k-permutation MinHash over a pre-hashed shingle array (vectorized
+    numpy fold — values bit-identical to :func:`minhash_from_hashes_jvm`,
+    pinned in tests/test_training_ops.py)."""
+    return _minhash_vec_udf(k, seed)(hashes)
 
 
 def minhash_signature(col: Column, k: int = 32, seed: int = 13) -> Column:
@@ -360,7 +456,8 @@ def minhash_signatures(
     """(id, _sh, _sig): distinct shingle hashes + k-minhash signature per
     doc — the rows a signature STORE persists so later batches never
     re-shingle historical documents (see operators.incremental)."""
-    return with_shingle_hashes(df.select(id_col, text_col), text_col).select(
+    narrow = widen_small_scan(df.select(id_col, text_col))
+    return with_shingle_hashes(narrow, text_col).select(
         F.col(id_col), F.col("_sh"),
         minhash_from_hashes(F.col("_sh"), k, seed).alias("_sig"),
     )
@@ -567,7 +664,8 @@ def simhash_duplicates(
     :func:`simhash_near_pairs` / :func:`simhash_near_groups` for
     distance ≤ k). One row per group — canonical id + size, never a
     ``collect_list`` of the whole cluster (hot-cluster-safe)."""
-    h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("simhash"))
+    wdf = widen_small_scan(df.select(id_col, text_col))
+    h = wdf.select(F.col(id_col), simhash(wdf, text_col, word_hash).alias("simhash"))
     return (
         h.groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n"))
@@ -681,7 +779,8 @@ def simhash_banded(
     ``scheme=None`` (default) auto-selects by corpus size so the
     saturation-safe scheme engages without any kwarg at ≳10⁶ docs."""
     scheme = _resolve_simhash_scheme(df, scheme, corpus_count)
-    h = df.select(F.col(id_col), simhash(df, text_col, word_hash).alias("_sim"))
+    wdf = widen_small_scan(df.select(id_col, text_col))
+    h = wdf.select(F.col(id_col), simhash(wdf, text_col, word_hash).alias("_sim"))
     return simhash_bands_from_sim(h, id_col, scheme)
 
 

@@ -496,3 +496,34 @@ def test_knn_lsh_adaptive_releases_cache(spark, embeddings):
         top = [r.vec_id for r in res.collect()]
         assert top[0] == qi  # the query's own vector is in df
     assert persisted_ids() - before == set()
+
+
+def test_minhash_vectorized_equals_jvm(spark, docs):
+    """The Arrow-vectorized MinHash fold must be bit-identical to the
+    pure-JVM HOF reference on every shape: normal docs, sub-n-gram short
+    docs, empty/None text, and null/empty hash arrays."""
+    from image_report_spark.operators.dedupe import (
+        minhash_from_hashes,
+        minhash_from_hashes_jvm,
+        with_shingle_hashes,
+    )
+
+    extra = spark.createDataFrame(
+        [(10, ""), (11, None), (12, "one"), (13, "a b " * 500)],
+        "doc_id long, text string",
+    )
+    sh = with_shingle_hashes(docs.unionByName(extra).select("doc_id", "text"))
+    rows = sh.select(
+        "doc_id",
+        minhash_from_hashes(F.col("_sh"), 32).alias("vec"),
+        minhash_from_hashes_jvm(F.col("_sh"), 32).alias("jvm"),
+    ).collect()
+    assert rows and all(list(r["vec"]) == list(r["jvm"]) for r in rows)
+    null_arrays = spark.createDataFrame(
+        [(1, None), (2, [])], "doc_id long, _sh array<long>"
+    )
+    rows = null_arrays.select(
+        minhash_from_hashes(F.col("_sh"), 8).alias("vec"),
+        minhash_from_hashes_jvm(F.col("_sh"), 8).alias("jvm"),
+    ).collect()
+    assert all(list(r["vec"]) == list(r["jvm"]) == [None] * 8 for r in rows)
