@@ -771,21 +771,23 @@ class CdcEngine:
                     pobs, F.expr(f"named_struct({entries})").alias("pstats")
                 ).drop("_h")
             _tick("plan")
+            # the dedup-window LSN set is independent of the merge output,
+            # so its (job-overhead-dominated) Parquet write is submitted
+            # BEFORE the big write job and backfills idle cores during the
+            # merge's stragglers/tail (guide-§2.6 overlap; previously it
+            # only overlapped the short partition-stats read-back, leaving
+            # most of its wall on the critical path). The commit marker is
+            # still only written after BOTH complete — crash semantics
+            # unchanged: marker exists ⇒ dedup state is on disk.
+            lsn_pool = ThreadPoolExecutor(max_workers=1)
+            lsn_fut = lsn_pool.submit(
+                self.checkpoint.write_seen_lsns, batch_id, events.select("lsn")
+            )
             files = self.table.write_partition_files(
                 to_write, batch_id, pre_partitioned=True
             )
             stats = obs.get
             _tick("write+merge")
-
-            # the dedup-window LSN set is independent of the snapshot
-            # commit below, so its (job-overhead-dominated) Parquet write
-            # overlaps the partition-stats read-back on an I/O thread;
-            # the commit marker is only written after BOTH complete —
-            # measured ~0.4 s/batch back on a 32-thread micro-batch apply
-            lsn_pool = ThreadPoolExecutor(max_workers=1)
-            lsn_fut = lsn_pool.submit(
-                self.checkpoint.write_seen_lsns, batch_id, events.select("lsn")
-            )
 
             # per-partition lineage: already collected by the write job's
             # observation (tier 1), else a narrow scan of the written files
@@ -1023,17 +1025,19 @@ class CdcEngine:
         winners = ranked_obs.filter(F.col("_rn") == 1)
         phys_cols = [PART_COL] + payload_cols + ["_lsn", "_op"]
         _tick("plan")
-        files = self.table.write_partition_files(
-            winners.select(*(phys_cols + ["_salt"])), batch_id, pre_partitioned=True
-        )
-        stats = obs.get
-        _tick("write+delta")
-
+        # as in the COW path: the seen-LSN write is independent of the
+        # delta write, so it backfills the write job's tail (guide §2.6)
         lsn_pool = ThreadPoolExecutor(max_workers=1)
         try:
             lsn_fut = lsn_pool.submit(
                 self.checkpoint.write_seen_lsns, batch_id, events.select("lsn")
             )
+            files = self.table.write_partition_files(
+                winners.select(*(phys_cols + ["_salt"])), batch_id,
+                pre_partitioned=True,
+            )
+            stats = obs.get
+            _tick("write+delta")
 
             # classification + per-partition delta stats: one narrow job
             key_cols = ["conv_id", "turn_idx"]
