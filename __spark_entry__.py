@@ -123,15 +123,28 @@ def q_cdc_replay_final_table(
 
 
 def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 graft: last-writer-wins winner per key as a plain window."""
+    """W1 graft: last-writer-wins winner per key.
+
+    Expressed as ``max_by`` over the (ts, lsn) ordering key instead of a
+    row_number window: the aggregate gets map-side partial combine, so
+    the exchange carries one candidate winner per key per task instead of
+    every event row + a full sort (guide §2.3 "aggregate before you
+    shuffle" / §2.4). Equivalent by construction — lsn is unique, so the
+    max over (ts, lsn) IS the rank-1 row of the window ordering
+    (ts DESC, lsn DESC); the LWW *window* idiom itself stays exercised by
+    the engine merge (engine.py) and operators/resolve.py."""
     ch = _changes(spark, sf_dir)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("ts").desc(), F.col("lsn").desc()
+    win = ch.groupBy("conv_id", "turn_idx").agg(
+        F.max_by(
+            F.struct("op", "role", "text", "ts"), F.struct("ts", "lsn")
+        ).alias("w")
     )
-    return (
-        ch.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select("conv_id", "turn_idx", "role", "text", F.unix_micros("ts").alias("ts_us"))
+    return win.filter(F.col("w.op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        F.col("w.role").alias("role"),
+        F.col("w.text").alias("text"),
+        F.unix_micros("w.ts").alias("ts_us"),
     )
 
 
@@ -183,14 +196,28 @@ def q2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join chain + top-k (TakeOrderedAndProject)."""
+    """Join chain + top-k (TakeOrderedAndProject).
+
+    Join order chosen deliberately (guide §3.1): the selective dimension
+    side — orders ⋈ customer filtered to one mktsegment, projected to
+    the 8-byte join key — is reduced FIRST and broadcast, so lineitem
+    (the 6 M-row fact side) is never shuffled by the join at all; the
+    only exchange left is the partial-aggregated groupBy. The previous
+    shape sort-merge-joined all of lineitem against all of orders before
+    the segment filter could bite. Inner-join reorder + filter pushdown:
+    result set is identical. At scales where the pruned key set outgrows
+    the broadcast cap, drop the hint and this degrades to the old SMJ —
+    or pre-filter with a Bloom filter (guide §3.2)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    building_orders = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(F.broadcast(building_orders), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -219,7 +246,12 @@ def q4_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bkt,
     )
     return (
-        a.join(b, ["user_id", "bkt"])
+        # shuffled-hash instead of sort-merge (guide §3.1): both sides are
+        # shuffled either way, but SHJ skips the two full sorts — the
+        # un-exploded side builds a per-partition hash table (rows/partition
+        # bounded by events per (user, minute) bucket, the same property
+        # that bounds pairs/task). Join strategy only; results identical.
+        a.join(b.hint("shuffle_hash"), ["user_id", "bkt"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("ts_b") >= F.col("ts_a"))
@@ -283,17 +315,33 @@ def q8_zone_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q9_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: per-group analytic lag (inter-event gap)."""
+    """W2: per-group inter-event gap stats.
+
+    The lag-then-average telescopes: Σ (ts_i − ts_{i−1}) over the
+    event_id order is exactly ts(max event_id) − ts(min event_id), and
+    the gap count is n − 1 (ts is non-null), so the whole window+regroup
+    collapses into ONE partial-aggregated groupBy (guide §2.3/§2.4: the
+    full-row sort shuffle becomes a per-key endpoint struct). Exact:
+    the gap sum is integer-valued and < 2^53, so the avg's double math
+    is bit-identical to the windowed form's; event_id is unique, so the
+    endpoint rows are well-defined. The analytic-lag idiom itself stays
+    exercised by q20 (lag+lead) and q13 (rle)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    # min_by/max_by on the ATOMIC event_id (not min/max of a struct):
+    # struct-typed aggregation buffers force a SortAggregate fallback,
+    # while atomic buffers keep the whole-stage-codegen HashAggregate
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min_by("ts", "event_id").alias("_first_ts"),
+        F.max_by("ts", "event_id").alias("_last_ts"),
+    )
+    span = F.unix_micros("_last_ts") - F.unix_micros("_first_ts")
     return (
-        ev.withColumn("gap_us", gap)
-        .filter(F.col("gap_us").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.floor(F.avg("gap_us")).cast("long").alias("avg_gap_us"),
+        g.filter(F.col("_n") > 1)
+        .select(
+            "user_id",
+            (F.col("_n") - 1).alias("n_gaps"),
+            F.floor(span / (F.col("_n") - 1)).cast("long").alias("avg_gap_us"),
         )
     )
 

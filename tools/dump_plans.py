@@ -36,22 +36,17 @@ def main() -> int:
     suffix = sys.argv[1]
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r06")
+    out_dir = os.environ.get("IRS_PLAN_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r06",
+    )
     os.makedirs(out_dir, exist_ok=True)
 
-    from pyspark.sql import SparkSession
+    # the bench's exact session config — plans must reflect what the
+    # frozen bench.py session would plan, not a differently-tuned session
+    from bench import build_spark
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("dump-plans")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    spark = build_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     for name in names:
