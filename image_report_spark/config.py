@@ -11,6 +11,7 @@ hashes — cheap ledger columns the engine computes and records per batch.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 
@@ -191,6 +192,70 @@ class EngineConfig:
     #: with wide payloads and random-key insert streams.
     cow_append_scan_min_ratio: float | None = None
 
+    #: COW two-stream merge — the append fast-path's MERGE-PROVEN tier
+    #: (guide §2.2: shuffle fewer bytes). A rewrite partition whose batch
+    #: slice is PURE INSERTS contributes only NARROW incumbent rows (merge
+    #: keys + ts/lsn/op; payload column chunks never leave the parquet
+    #: scan) to the resolve window, and the merge's own observation counts
+    #: winners that displaced an incumbent key. Zero displaced ⇒ the
+    #: winner file is provably key-disjoint from the incumbent, so it
+    #: APPENDS and the incumbent files carry forward — the append
+    #: fast-path outcome for the interleaved key ranges the zone-map tier
+    #: cannot prove and without the scan tier's two extra per-batch jobs.
+    #: Non-zero (an insert re-used an existing or tombstoned key) ⇒ one
+    #: narrow keys semi-join pinpoints the overlapping partitions, which
+    #: are rebuilt as written winners + a map-only broadcast anti-join
+    #: copy of the surviving incumbent rows (payload read once, written
+    #: once, never shuffled). Buckets with update/delete events take the
+    #: fused path unchanged: their targets overlap by construction, and
+    #: the survivor-rewrite detour measures SLOWER than the fused shuffle
+    #: at transcript payload widths (A/B in OPTIMIZATION_r06.md). Row
+    #: set, ledger and partition checksums are identical to the fused
+    #: path by construction — the whole narrow incumbent flows through
+    #: the same LWW window, so every stat observes the same rows (pinned
+    #: by the digest-equality tests in tests/test_two_stream.py). A
+    #: two-stream partition none of whose batch events win keeps its old
+    #: files verbatim (metadata carry-forward — a stale re-insert flood
+    #: rewrites nothing). Requires ``cow_append_fastpath`` (False must
+    #: keep forcing full rewrites, as documented there). The env override
+    #: ``SPARK_GRAFT_COW_TWO_STREAM=0`` exists for A/B measurement
+    #: against the fused path.
+    cow_two_stream: bool = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_COW_TWO_STREAM", "1")
+        != "0"
+    )
+
+    #: a partition is two-stream-eligible only while its incumbent file
+    #: count is below this bound; at/above it the batch takes the fused
+    #: rewrite, which coalesces the partition back to one file. This is
+    #: the small-files backstop: each appended batch adds a file per
+    #: partition, so without the bound an endless interleaved-insert
+    #: stream would accumulate files monotonically (the round-5 verdict's
+    #: append-path concern — this tier self-bounds). 8 ≈ Iceberg-style
+    #: "compact every few commits" amortization.
+    cow_two_stream_max_files: int = 8
+
+    #: minimum total incumbent rows across the candidate partitions for
+    #: two-stream to engage. The clean insert case adds zero extra jobs,
+    #: so the default is 0 (always on); raise it to shield tiny tables
+    #: from the rare-overlap path's check + survivor jobs.
+    cow_two_stream_min_rows: int = 0
+
+    #: per-partition engagement ratio: a partition is two-stream-eligible
+    #: only when its incumbent rows are at least this multiple of the
+    #: batch rows landing in it. Appending necessarily produces one small
+    #: file per partition per batch; when the incumbent is only 1-4× the
+    #: batch (early bulk-load batches, small tables) the avoided rewrite
+    #: is worth less than the small-files tax every subsequent scan of
+    #: that partition pays — measured at bench shape (2 M × 8, 128
+    #: buckets): appends with ratio ≤ 4 cost +2-4 s per apply vs fused
+    #: (OPTIMIZATION_r06.md). At ratio ≥ 8 the rewrite is ≥ 8× the bytes
+    #: of the append and the trade flips — the long-running insert-stream
+    #: case (growing table, steady batch size) where each batch would
+    #: otherwise rewrite the whole partition. A data-shape breakeven, not
+    #: a core-count constant.
+    cow_two_stream_min_ratio: float = 8.0
+
     #: MOR classification join strategy gate: when the batch's VALID event
     #: count (an upper bound on its distinct key count, free from the
     #: bucket pre-pass) is at or below this, the delta key set and the
@@ -265,6 +330,12 @@ class EngineConfig:
             )
         if self.partstats_observe_limit < 0:
             raise ValueError("partstats_observe_limit must be >= 0")
+        if self.cow_two_stream_max_files < 1:
+            raise ValueError("cow_two_stream_max_files must be >= 1")
+        if self.cow_two_stream_min_rows < 0:
+            raise ValueError("cow_two_stream_min_rows must be >= 0")
+        if self.cow_two_stream_min_ratio < 0:
+            raise ValueError("cow_two_stream_min_ratio must be >= 0")
         if self.num_buckets < 1:
             raise ValueError("num_buckets must be >= 1")
         if self.mor_broadcast_key_limit < 0:

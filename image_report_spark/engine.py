@@ -177,6 +177,13 @@ class BatchReport:
     #: (all-insert batch slice, zero key overlap with the incumbent —
     #: incumbent files carried forward, stats xor-combined)
     partitions_appended: int = 0
+    #: rewrite partitions merged via the COW two-stream split (narrow
+    #: incumbent through the resolve window; survivors carried by a
+    #: map-only broadcast anti-join instead of the merge shuffle)
+    partitions_two_stream: int = 0
+    #: two-stream partitions where no batch event won — old files kept
+    #: verbatim (metadata carry-forward, nothing rewritten)
+    partitions_carried: int = 0
     wall_ms: int = 0
     table_digest: str | None = None
     #: partitions auto-compacted by ``mor_compact_delta_ratio`` after this
@@ -193,6 +200,10 @@ class BatchReport:
         }
         if self.partitions_appended:
             base["partitions_appended"] = self.partitions_appended
+        if self.partitions_two_stream:
+            base["partitions_two_stream"] = self.partitions_two_stream
+        if self.partitions_carried:
+            base["partitions_carried"] = self.partitions_carried
         for k in (
             "events_read applied deduped superseded quarantined "
             "rows_before inserts updates deletes rows_after".split()
@@ -632,9 +643,83 @@ class CdcEngine:
                     _tick("classify")
                 rpt.partitions_appended = len(append_parts)
             rewrite_parts = [p for p in touched if p not in append_parts]
-            incumbent = self._read_physical(rewrite_parts, evolved).withColumn(
+            # COW two-stream split (guide §2.2, shuffle fewer bytes — see
+            # EngineConfig.cow_two_stream): a rewrite partition whose batch
+            # slice is PURE INSERTS contributes only NARROW incumbent rows
+            # (merge keys + ts/lsn/op) to the merge shuffle, and the merge
+            # itself then proves key-disjointness (observed `displaced`
+            # counter): if no insert won over an incumbent row, the winner
+            # file APPENDS and the incumbent files carry forward — the
+            # append fast-path outcome for interleaved key ranges the
+            # zone-map tier cannot prove, at zero extra jobs. Buckets with
+            # update/delete events stay fused (their targets overlap by
+            # construction, and the measured survivor-rewrite detour costs
+            # more than the fused shuffle it avoids at this payload width),
+            # as do buckets whose batch slice carries null merge keys (SQL
+            # join equality would miss the null-key groups the window
+            # resolves), partitions at the file-count bound (the fused
+            # rewrite coalesces them back to one file) and pre-ck_id
+            # manifests.
+            bucket_info = {int(r[PART_COL]): r for r in bucket_rows}
+            ts_parts: list[int] = []
+            if cfg.cow_two_stream and cfg.cow_append_fastpath and rewrite_parts:
+                cand_ts = [
+                    p
+                    for p in rewrite_parts
+                    if (e := old_entries.get(p)) is not None
+                    and e.get("files")
+                    and len(e["files"]) < cfg.cow_two_stream_max_files
+                    and e.get("checksum") is not None
+                    and e.get("ck_id") == ck_id
+                    and int(bucket_info[p]["nullk"] or 0) == 0
+                    and int(bucket_info[p]["noni"] or 0) == 0
+                    and int(e["row_count"])
+                    >= cfg.cow_two_stream_min_ratio
+                    * max(
+                        int(bucket_info[p]["n"])
+                        - int(bucket_info[p]["bad"] or 0),
+                        1,
+                    )
+                ]
+                n_ts_events = sum(
+                    int(bucket_info[p]["n"]) - int(bucket_info[p]["bad"] or 0)
+                    for p in cand_ts
+                )
+                n_ts_inc = sum(int(old_entries[p]["row_count"]) for p in cand_ts)
+                if (
+                    cand_ts
+                    and n_ts_events <= cfg.mor_broadcast_key_limit
+                    and n_ts_inc >= cfg.cow_two_stream_min_rows
+                ):
+                    ts_parts = cand_ts
+            ts_set = set(ts_parts)
+            fused_parts = [p for p in rewrite_parts if p not in ts_set]
+            rpt.partitions_two_stream = len(ts_parts)
+            incumbent = self._read_physical(fused_parts, evolved).withColumn(
                 "_src", F.lit(0)
             )
+            if ts_parts:
+                # narrow branch: the resolve window needs only the merge
+                # keys and the LWW order columns; null literals on the rest
+                # prune the payload column chunks out of the parquet scan
+                field_types = {f.name: f.dataType for f in evolved.fields}
+                key_or_order = {"conv_id", "turn_idx", "ts"}
+                narrow_inc = (
+                    self._read_physical(ts_parts, evolved)
+                    .select(
+                        F.col(PART_COL),
+                        *[
+                            F.col(c)
+                            if c in key_or_order
+                            else F.lit(None).cast(field_types[c]).alias(c)
+                            for c in payload_cols
+                        ],
+                        "_lsn",
+                        "_op",
+                    )
+                    .withColumn("_src", F.lit(0))
+                )
+                incumbent = incumbent.unionByName(narrow_inc)
             evt = events.withColumn(PART_COL, partition_expr(num_buckets)).select(
                 F.col(PART_COL),
                 *[F.col(c) for c in payload_cols],
@@ -687,6 +772,17 @@ class CdcEngine:
                     ).over(keyw),
                 )
             )
+            if ts_parts:
+                # merge-proven append needs "did ANY incumbent row (live OR
+                # tombstone) share this key" — tombstones must count as
+                # overlap so an appended partition never holds two physical
+                # rows for one key. Same window frame, no extra sort.
+                ranked = ranked.withColumn(
+                    "_inc_any",
+                    F.max(
+                        F.when(F.col("_src") == 0, 1).otherwise(0)
+                    ).over(keyw),
+                )
             # deliberately NOT cached: caching wide string rows is a GC bomb
             # (measured: 120 s GC in one 64-task stage); instead the pipeline
             # runs exactly once — inside the file write — with ledger stats
@@ -723,8 +819,36 @@ class CdcEngine:
                     ).alias(f"op_{o}")
                     for o in ("I", "U", "D")
                 ],
+                # merge-proven append: count batch winners that displaced an
+                # existing incumbent key in a two-stream partition. Zero ⇒
+                # every two-stream winner file is key-disjoint from its
+                # incumbent and appends with no further jobs; non-zero ⇒ a
+                # narrow keys semi-join pinpoints which partitions overlap.
+                *(
+                    [
+                        F.sum(
+                            F.when(
+                                won
+                                & (F.col("_inc_any") == 1)
+                                & F.col(PART_COL).isin(ts_parts),
+                                1,
+                            ).otherwise(0)
+                        ).alias("displaced")
+                    ]
+                    if ts_parts
+                    else []
+                ),
             )
-            merged = ranked_obs.filter(F.col("_rn") == 1)
+            keep = F.col("_rn") == 1
+            if ts_parts:
+                # two-stream partitions: this job writes only the batch's
+                # winning rows; narrow incumbent winners exist solely to
+                # decide per-key outcomes and feed the observation (their
+                # payload is carried by the survivor pass below)
+                keep = keep & (
+                    (F.col("_src") == 1) | ~F.col(PART_COL).isin(ts_parts)
+                )
+            merged = ranked_obs.filter(keep)
 
             # 6. write files FIRST (the one and only pipeline execution;
             # unreferenced until the snapshot commit below). `_salt` rides
@@ -789,28 +913,176 @@ class CdcEngine:
             stats = obs.get
             _tick("write+merge")
 
+            # two-stream survivor pass: incumbent rows of two-stream
+            # partitions whose key was NOT won by the batch are copied
+            # forward by a map-only scan + broadcast anti-join on the
+            # freshly written winners' keys — payload bytes are read once
+            # and written once, never shuffled or window-sorted. A
+            # two-stream partition with NO winner file is untouched by the
+            # batch (every event replayed/superseded): its old files and
+            # manifest entry carry forward verbatim, rewriting nothing.
+            pobs2 = None
+            ts_rewrite: list[int] = []
+            surv_parts: list[int] = []
+            if ts_parts:
+                ts_rewrite = [p for p in ts_parts if p in files]
+                rpt.partitions_carried = len(ts_parts) - len(ts_rewrite)
+                if ts_rewrite:
+                    from image_report_spark.plans.icelite import physical_schema
+
+                    phys = physical_schema(evolved)
+                    key_schema = StructType(
+                        [
+                            f
+                            for f in phys.fields
+                            if f.name in (PART_COL, "conv_id", "turn_idx")
+                        ]
+                    )
+
+                    def _won_keys(parts: list[int]):
+                        return self.spark.read.schema(key_schema).parquet(
+                            *[
+                                os.path.join(self.table.root, f)
+                                for p in parts
+                                for f in files[p]
+                            ]
+                        )
+
+                    # post-merge APPEND decision: a partition where no winner
+                    # key matches any incumbent key needs no survivor rewrite
+                    # at all — old files carry forward and the winner file
+                    # appends (stats xor-combine below, exactly the append
+                    # fast-path manifest math). The merge window already
+                    # resolved every key collision and its observation
+                    # counted them (`displaced`): zero ⇒ ALL two-stream
+                    # partitions append with no further jobs (the common
+                    # insert-stream case); non-zero ⇒ one narrow keys
+                    # semi-join pinpoints which partitions overlap (re-insert
+                    # of an existing or tombstoned key).
+                    append2: set[int] = set()
+                    if int(stats["displaced"] or 0) == 0:
+                        append2 = set(ts_rewrite)
+                    else:
+                        inc_keys = self.spark.read.schema(key_schema).parquet(
+                            *[
+                                os.path.join(self.table.root, f)
+                                for p in ts_rewrite
+                                for f in old_entries[p]["files"]
+                            ]
+                        )
+                        overlapped = {
+                            int(r[PART_COL])
+                            for r in inc_keys.join(
+                                F.broadcast(_won_keys(ts_rewrite)),
+                                [PART_COL, "conv_id", "turn_idx"],
+                                "left_semi",
+                            )
+                            .select(PART_COL)
+                            .distinct()
+                            .collect()
+                        }
+                        append2 = set(ts_rewrite) - overlapped
+                    append_parts |= append2
+                    rpt.partitions_appended += len(append2)
+                    surv_parts = [p for p in ts_rewrite if p not in append2]
+                    if surv_parts:
+                        surv = (
+                            self.spark.read.schema(phys)
+                            .parquet(
+                                *[
+                                    os.path.join(self.table.root, f)
+                                    for p in surv_parts
+                                    for f in old_entries[p]["files"]
+                                ]
+                            )
+                            .join(
+                                F.broadcast(_won_keys(surv_parts)),
+                                [PART_COL, "conv_id", "turn_idx"],
+                                "left_anti",
+                            )
+                        )
+                        if cfg.partstats_mode != "reverify":
+                            surv = surv.withColumn(
+                                "_h", _live_row_hash(surv, checksum_cols)
+                            )
+                        if use_pobs:
+                            pobs2 = Observation(f"pstats2-{batch_id}")
+                            entries2 = ", ".join(
+                                f"'n_{p}', sum(if({PART_COL} = {p}, 1, 0)), "
+                                f"'l_{p}', sum(if({PART_COL} = {p} and _op <> 'D', 1, 0)), "
+                                f"'m_{p}', max(if({PART_COL} = {p}, _lsn, null)), "
+                                f"'x_{p}', bit_xor(if({PART_COL} = {p}, _h, null)), "
+                                f"'a_{p}', min(if({PART_COL} = {p}, conv_id, null)), "
+                                f"'b_{p}', max(if({PART_COL} = {p}, conv_id, null))"
+                                for p in surv_parts
+                            )
+                            surv = surv.observe(
+                                pobs2,
+                                F.expr(f"named_struct({entries2})").alias("pstats"),
+                            )
+                        surv_files = self.table.write_partition_files(
+                            surv, batch_id, pre_partitioned=True
+                        )
+                        for p, fl in surv_files.items():
+                            files[p] = files.get(p, []) + fl
+                _tick("survivors")
+
             # per-partition lineage: already collected by the write job's
             # observation (tier 1), else a narrow scan of the written files
             # ("stored" tier 2) or a full payload re-hash ("reverify")
             if use_pobs:
                 pv = pobs.get["pstats"]
-                part_rows = [
-                    {
-                        PART_COL: p,
-                        "row_count": int(pv[f"n_{p}"] or 0),
-                        "live_rows": int(pv[f"l_{p}"] or 0),
-                        "last_applied_lsn": pv[f"m_{p}"],
-                        # match F.lpad(F.hex(bigint)): unsigned 64-bit,
-                        # uppercase, zero-padded to 16
-                        "checksum": format(
-                            (pv[f"x_{p}"] or 0) & 0xFFFFFFFFFFFFFFFF, "016X"
-                        ),
-                        "key_lo": pv[f"a_{p}"],
-                        "key_hi": pv[f"b_{p}"],
-                    }
-                    for p in touched
-                    if p in files
-                ]
+                # two-stream partitions combine the write job's winner
+                # stats with the survivor pass's observation: counts add,
+                # max/min/max compose, and bit_xor checksums xor-combine
+                # (order-independent by construction)
+                pv2 = pobs2.get["pstats"] if pobs2 is not None else None
+                ts_rw_set = set(surv_parts)
+
+                def _pair(fld: str, p: int):
+                    a = pv[f"{fld}_{p}"]
+                    b = (
+                        pv2[f"{fld}_{p}"]
+                        if pv2 is not None and p in ts_rw_set
+                        else None
+                    )
+                    return a, b
+
+                part_rows = []
+                for p in touched:
+                    if p not in files:
+                        continue
+                    n1, n2 = _pair("n", p)
+                    l1, l2 = _pair("l", p)
+                    m1, m2 = _pair("m", p)
+                    x1, x2 = _pair("x", p)
+                    a1, a2 = _pair("a", p)
+                    b1, b2 = _pair("b", p)
+                    part_rows.append(
+                        {
+                            PART_COL: p,
+                            "row_count": int(n1 or 0) + int(n2 or 0),
+                            "live_rows": int(l1 or 0) + int(l2 or 0),
+                            "last_applied_lsn": max(
+                                (v for v in (m1, m2) if v is not None),
+                                default=None,
+                            ),
+                            # match F.lpad(F.hex(bigint)): unsigned 64-bit,
+                            # uppercase, zero-padded to 16
+                            "checksum": format(
+                                ((x1 or 0) ^ (x2 or 0)) & 0xFFFFFFFFFFFFFFFF,
+                                "016X",
+                            ),
+                            "key_lo": min(
+                                (v for v in (a1, a2) if v is not None),
+                                default=None,
+                            ),
+                            "key_hi": max(
+                                (v for v in (b1, b2) if v is not None),
+                                default=None,
+                            ),
+                        }
+                    )
             else:
                 part_rows = _written_partition_stats(
                     self.spark, self.table.root, files, evolved, checksum_cols,
