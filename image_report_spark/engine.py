@@ -336,7 +336,12 @@ class CdcEngine:
         return eng
 
     # ------------------------------------------------------------ the merge
-    def apply_batch(self, changes_raw: DataFrame, batch_id: int) -> BatchReport:
+    def apply_batch(
+        self,
+        changes_raw: DataFrame,
+        batch_id: int,
+        prepass_rows: list | None = None,
+    ) -> BatchReport:
         # Deliberately NOT cached: the raw batch is scanned ~2–3× (bucket
         # pre-pass, merge union, checkpoint lsn set), and re-running a
         # columnar parquet scan is far cheaper than materializing millions
@@ -344,41 +349,29 @@ class CdcEngine:
         # on 32 threads: persist() cost 15 s of prepass + GC pressure across
         # every later stage; scan-again costs 1.4 s per pass. At cluster
         # scale caching a transient batch also evicts useful storage.
-        return self._apply_batch(changes_raw, batch_id)
+        # ``prepass_rows``: the bucket pre-pass result for THIS batch if a
+        # caller (run()'s pipeline) already computed it concurrently with
+        # the previous batch's tail — the pre-pass reads only the raw batch
+        # files and no table/checkpoint state, so overlapping it is safe.
+        return self._apply_batch(changes_raw, batch_id, prepass_rows)
 
-    def _apply_batch(self, changes_raw: DataFrame, batch_id: int) -> BatchReport:
-        t0 = time.monotonic()
-        _timing = os.environ.get("IRS_TIMING") == "1"
-        _last = [t0]
-        cfg = self.config
-        rpt = BatchReport(batch_id=batch_id)
-
-        # per-phase durations land in the ledger as a selectable metric
-        # (graft of the reference's per-section duration_sec attributes,
-        # ir:218-221,347-353); IRS_TIMING=1 additionally echoes to stderr
-        def _tick(phase: str) -> None:
-            now = time.monotonic()
-            rpt.phase_ms[phase] = rpt.phase_ms.get(phase, 0) + int(
-                (now - _last[0]) * 1000
-            )
-            if _timing:
-                print(f"# b{batch_id} {phase}: {now - _last[0]:.2f}s", file=sys.stderr)
-            _last[0] = now
-        snap = self.table.snapshot()
-        logical = self.table.logical_schema(snap)
-        num_buckets = self.table.num_buckets(snap)
-        checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
-
-        # 1. ONE pre-pass over the raw batch: total + malformed counts AND
-        # per-bucket sizes (touched-partition pruning + hot-bucket detection)
-        # fused into a single map-side-combined aggregate (quarantine split
-        # grafts per-item error isolation, ir:208-216)
-        malformed = (
+    @staticmethod
+    def _malformed_pred():
+        return (
             F.col("lsn").isNull()
             | F.col("op").isNull()
             | ~F.col("op").isin("I", "U", "D")
         )
-        bucket_rows = (
+
+    def _prepass(self, changes_raw: DataFrame, num_buckets: int) -> list:
+        """ONE pre-pass over the raw batch: total + malformed counts AND
+        per-bucket sizes (touched-partition pruning + hot-bucket
+        detection) fused into a single map-side-combined aggregate
+        (quarantine split grafts per-item error isolation, ir:208-216).
+        Reads ONLY the batch files — no table or checkpoint state — so
+        run() may execute it for batch N+1 while batch N finishes."""
+        malformed = self._malformed_pred()
+        return (
             changes_raw.groupBy(partition_expr(num_buckets).alias(PART_COL))
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -409,6 +402,44 @@ class CdcEngine:
                 ).alias("nullk"),
             )
             .collect()
+        )
+
+    def _apply_batch(
+        self,
+        changes_raw: DataFrame,
+        batch_id: int,
+        prepass_rows: list | None = None,
+    ) -> BatchReport:
+        t0 = time.monotonic()
+        _timing = os.environ.get("IRS_TIMING") == "1"
+        _last = [t0]
+        cfg = self.config
+        rpt = BatchReport(batch_id=batch_id)
+
+        # per-phase durations land in the ledger as a selectable metric
+        # (graft of the reference's per-section duration_sec attributes,
+        # ir:218-221,347-353); IRS_TIMING=1 additionally echoes to stderr
+        def _tick(phase: str) -> None:
+            now = time.monotonic()
+            rpt.phase_ms[phase] = rpt.phase_ms.get(phase, 0) + int(
+                (now - _last[0]) * 1000
+            )
+            if _timing:
+                print(f"# b{batch_id} {phase}: {now - _last[0]:.2f}s", file=sys.stderr)
+            _last[0] = now
+        snap = self.table.snapshot()
+        logical = self.table.logical_schema(snap)
+        num_buckets = self.table.num_buckets(snap)
+        checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+
+        # 1. bucket pre-pass (see _prepass) — either computed here or handed
+        # in by run()'s pipeline, which overlapped it with the previous
+        # batch's write/stats/commit tail
+        malformed = self._malformed_pred()
+        bucket_rows = (
+            self._prepass(changes_raw, num_buckets)
+            if prepass_rows is None
+            else prepass_rows
         )
         _tick("prepass")
         rpt.events_read = sum(int(r["n"]) for r in bucket_rows)
@@ -1551,18 +1582,51 @@ class CdcEngine:
     # ------------------------------------------------------------------ run
     def run(self, log_dir: str, max_batches: int | None = None) -> list[BatchReport]:
         """Tail the log directory, applying unapplied batches in order
-        (crash-resume: committed markers are skipped)."""
+        (crash-resume: committed markers are skipped).
+
+        The NEXT batch's bucket pre-pass (a small scan-and-aggregate job
+        over only the raw batch files — no table or checkpoint state) is
+        submitted on a background thread as each batch starts, so it
+        backfills idle cores during the current batch's write/stats/commit
+        tail instead of serializing ~0.2-0.3 s per batch on the critical
+        path (guide §2.6 overlap, same pattern as the seen-LSN write).
+        Commit ordering and crash semantics are untouched: the pre-pass
+        writes nothing, and each batch still commits before the next
+        batch's table-dependent work begins."""
         source = ChangeLogSource(self.spark, log_dir)
         reports: list[BatchReport] = []
-        done = 0
+        todo: list[tuple[int, str]] = []
         for batch_id, path in source.list_batches():
-            if max_batches is not None and done >= max_batches:
+            if max_batches is not None and len(todo) >= max_batches:
                 break
-            done += 1
-            if self.checkpoint.is_applied(batch_id):
-                reports.append(BatchReport(batch_id=batch_id, skipped=True))
-                continue
-            reports.append(self.apply_batch(source.read_batch(path), batch_id))
+            todo.append((batch_id, path))
+        num_buckets = self.table.num_buckets()
+
+        def _prefetch(path: str):
+            raw = source.read_batch(path)
+            return raw, self._prepass(raw, num_buckets)
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = None
+        fut_for: int | None = None
+        try:
+            for i, (batch_id, path) in enumerate(todo):
+                if self.checkpoint.is_applied(batch_id):
+                    reports.append(BatchReport(batch_id=batch_id, skipped=True))
+                    continue
+                if fut is not None and fut_for == batch_id:
+                    raw, rows = fut.result()
+                else:
+                    raw, rows = source.read_batch(path), None
+                fut, fut_for = None, None
+                for nb_id, nb_path in todo[i + 1 :]:
+                    if not self.checkpoint.is_applied(nb_id):
+                        fut = pool.submit(_prefetch, nb_path)
+                        fut_for = nb_id
+                        break
+                reports.append(self.apply_batch(raw, batch_id, prepass_rows=rows))
+        finally:
+            pool.shutdown(wait=True)
         return reports
 
     # ------------------------------------------------------------------ read
