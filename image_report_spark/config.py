@@ -301,6 +301,17 @@ class EngineConfig:
     #: observe tier entirely.
     partstats_observe_limit: int = 64
 
+    #: "stored"-mode read-back size gate: when a batch's freshly written
+    #: data files total at most this many bytes, the narrow stats
+    #: read-back runs DRIVER-side with arrow (a few MB of fixed-width
+    #: column chunks — the same magnitude of driver I/O as the per-commit
+    #: file renames and manifest JSON) instead of paying a Spark job's
+    #: fixed scheduling latency (~0.2-0.3 s/batch) to read it. Above the
+    #: limit — cluster-scale batches — the distributed read-back runs
+    #: unchanged. All tiers produce identical stats
+    #: (tests/test_partstats.py). 0 disables the driver tier.
+    partstats_driver_bytes_limit: int = 128 * 1024 * 1024
+
     selected_metrics: set[str] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:

@@ -106,6 +106,67 @@ def _live_row_hash(df: DataFrame, checksum_cols: list[str]):
     )
 
 
+def _driver_partition_stats(root: str, files: dict[int, list[str]]) -> list:
+    """Driver-side arrow read-back of the narrow stats columns.
+
+    Semantically identical to the Spark read-back (same skip-null max/min,
+    same unsigned-64 hex checksum, and UTF-8 byte order == code-point
+    order, so python string min/max matches Spark's binary collation);
+    pinned against the other tiers in tests/test_partstats.py. Bounded by
+    ``partstats_driver_bytes_limit``, so the driver reads a few MB of
+    fixed-width column chunks — the same magnitude of driver I/O as the
+    file renames and manifest JSON it already performs per commit —
+    instead of paying a Spark job's fixed scheduling latency to do it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    def one(item):
+        p, rels = item
+        n = live = 0
+        mx = None
+        x = 0
+        lo = hi = None
+        for rel in rels:
+            t = pq.read_table(
+                os.path.join(root, rel),
+                columns=["conv_id", "_lsn", "_op", "_h"],
+            )
+            n += t.num_rows
+            live += (
+                pc.sum(
+                    pc.cast(
+                        pc.not_equal(t.column("_op"), pa.scalar("D")),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            )
+            m = pc.max(t.column("_lsn")).as_py()
+            if m is not None:
+                mx = m if mx is None else max(mx, m)
+            hv = t.column("_h").drop_null().to_numpy(zero_copy_only=False)
+            if len(hv):
+                x ^= int(np.bitwise_xor.reduce(hv.astype(np.int64).view(np.uint64)))
+            mm = pc.min_max(t.column("conv_id")).as_py()
+            if mm["min"] is not None:
+                lo = mm["min"] if lo is None else min(lo, mm["min"])
+                hi = mm["max"] if hi is None else max(hi, mm["max"])
+        return {
+            PART_COL: p,
+            "row_count": n,
+            "live_rows": int(live),
+            "last_applied_lsn": mx,
+            "checksum": format(x & 0xFFFFFFFFFFFFFFFF, "016X"),
+            "key_lo": lo,
+            "key_hi": hi,
+        }
+
+    with ThreadPoolExecutor(max_workers=min(8, max(len(files), 1))) as ex:
+        return list(ex.map(one, list(files.items())))
+
+
 def _written_partition_stats(
     spark: SparkSession,
     root: str,
@@ -113,6 +174,7 @@ def _written_partition_stats(
     logical: StructType,
     checksum_cols: list[str],
     mode: str,
+    driver_bytes_limit: int = 0,
 ) -> list:
     """Per-partition lineage (row counts, live rows, last applied LSN,
     order-independent checksum) aggregated from freshly WRITTEN files.
@@ -130,6 +192,14 @@ def _written_partition_stats(
     """
     from image_report_spark.plans.icelite import physical_schema
 
+    if mode == "stored" and driver_bytes_limit and files:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for fl in files.values()
+            for f in fl
+        )
+        if total <= driver_bytes_limit:
+            return _driver_partition_stats(root, files)
     written_paths = [os.path.join(root, f) for fl in files.values() for f in fl]
     if mode == "reverify":
         wdf = spark.read.schema(physical_schema(logical)).parquet(*written_paths)
@@ -1117,7 +1187,7 @@ class CdcEngine:
             else:
                 part_rows = _written_partition_stats(
                     self.spark, self.table.root, files, evolved, checksum_cols,
-                    cfg.partstats_mode,
+                    cfg.partstats_mode, cfg.partstats_driver_bytes_limit,
                 )
             _tick("partstats")
             rpt.applied = int(stats["applied"] or 0)
@@ -1535,7 +1605,7 @@ class CdcEngine:
         )
         part_rows = _written_partition_stats(
             self.spark, self.table.root, files, logical, checksum_cols,
-            self.config.partstats_mode,
+            self.config.partstats_mode, self.config.partstats_driver_bytes_limit,
         )
         ck_id = _checksum_cols_id(checksum_cols)
         replaced = {}

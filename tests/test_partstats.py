@@ -234,3 +234,27 @@ def test_second_batch_and_reapply_stable_under_observe_tier(spark, tmp_path):
     eng2.apply_batch(ev2, 1)  # idempotent re-apply of the same batch
     assert eng2.table.snapshot()["table_digest"] == d2
     assert rpt2.conservation_ok()
+
+
+def test_driver_tier_matches_spark_readback(spark, tmp_path):
+    """The driver-side arrow read-back (partstats_driver_bytes_limit)
+    produces byte-identical stats to the Spark-job read-back on the same
+    files, including tombstone skip-nulls, unsigned hex checksums and the
+    string zone map."""
+    eng, _, snap = _run(
+        spark, tmp_path, "narrow", partstats_observe_limit=0
+    )
+    logical = eng.table.logical_schema()
+    cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+    files = {
+        e["partition"]: e["files"] for e in snap["manifest"] if e["files"]
+    }
+    via_job = engine_mod._written_partition_stats(
+        spark, eng.table.root, files, logical, cols, "stored", 0
+    )
+    via_driver = engine_mod._driver_partition_stats(eng.table.root, files)
+    key = lambda r: int(r["_p"])
+    for a, b in zip(sorted(via_job, key=key), sorted(via_driver, key=key)):
+        for f in ("row_count", "live_rows", "last_applied_lsn", "checksum",
+                  "key_lo", "key_hi"):
+            assert a[f] == b[f], (a["_p"], f, a[f], b[f])
