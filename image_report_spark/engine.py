@@ -821,12 +821,17 @@ class CdcEngine:
                     .withColumn("_src", F.lit(0))
                 )
                 incumbent = incumbent.unionByName(narrow_inc)
-            evt = events.withColumn(PART_COL, partition_expr(num_buckets)).select(
-                F.col(PART_COL),
-                *[F.col(c) for c in payload_cols],
-                F.col("lsn").alias("_lsn"),
-                F.col("op").alias("_op"),
-            ).withColumn("_src", F.lit(1))
+            # one selectExpr instead of withColumn+select+withColumn: the
+            # merge construction repeats per batch, so driver round-trips
+            # are a per-batch tax (the SQL text parses to the identical
+            # expressions — partition_expr's pmod/xxhash64/cast)
+            evt = events.selectExpr(
+                f"cast(pmod(xxhash64(conv_id), {num_buckets}) as int) AS {PART_COL}",
+                *[f"`{c}`" for c in payload_cols],
+                "lsn AS _lsn",
+                "op AS _op",
+                "1 AS _src",
+            )
 
             # repartition on _salt only when it's a real column: a lit(0)
             # salt constant-folds OUT of the window's required clustering
@@ -850,40 +855,28 @@ class CdcEngine:
             # per-key liveness max() needs only the clustering prefix, so it
             # rides the same sort too. (Graft of the NMS duplicate
             # suppression, utils.py:270-319.)
-            keyw = Window.partitionBy(PART_COL, "_salt", "conv_id", "turn_idx")
-            order = keyw.orderBy(
-                F.col("ts").desc_nulls_last(),
-                F.col("_lsn").desc_nulls_last(),
-                F.col("_src").asc(),  # exact tie → incumbent wins (idempotence)
+            # (built as SQL text — one driver round-trip for the whole
+            # window block instead of one per Column; parses to the same
+            # WindowExec, pinned by the single-exchange plan test)
+            part_spec = f"PARTITION BY {PART_COL}, _salt, conv_id, turn_idx"
+            order_spec = (
+                f"{part_spec} ORDER BY ts DESC NULLS LAST, "
+                "_lsn DESC NULLS LAST, _src ASC"  # exact tie → incumbent wins
             )
-            ranked = (
-                u.withColumn("_rn", F.row_number().over(order))
-                .withColumn(
-                    "_replay",
-                    F.when(
-                        F.lag("_lsn").over(order).eqNullSafe(F.col("_lsn")), 1
-                    ).otherwise(0),
-                )
-                .withColumn(
-                    "_inc_live",
-                    F.max(
-                        F.when(
-                            (F.col("_src") == 0) & (F.col("_op") != "D"), 1
-                        ).otherwise(0)
-                    ).over(keyw),
-                )
-            )
+            win_exprs = [
+                f"row_number() OVER ({order_spec}) AS _rn",
+                f"if(lag(_lsn) OVER ({order_spec}) <=> _lsn, 1, 0) AS _replay",
+                f"max(if(_src = 0 AND _op <> 'D', 1, 0)) OVER ({part_spec}) AS _inc_live",
+            ]
             if ts_parts:
                 # merge-proven append needs "did ANY incumbent row (live OR
                 # tombstone) share this key" — tombstones must count as
                 # overlap so an appended partition never holds two physical
                 # rows for one key. Same window frame, no extra sort.
-                ranked = ranked.withColumn(
-                    "_inc_any",
-                    F.max(
-                        F.when(F.col("_src") == 0, 1).otherwise(0)
-                    ).over(keyw),
+                win_exprs.append(
+                    f"max(if(_src = 0, 1, 0)) OVER ({part_spec}) AS _inc_any"
                 )
+            ranked = u.selectExpr("*", *win_exprs)
             # deliberately NOT cached: caching wide string rows is a GC bomb
             # (measured: 120 s GC in one 64-task stage); instead the pipeline
             # runs exactly once — inside the file write — with ledger stats
@@ -894,52 +887,40 @@ class CdcEngine:
             # per-row hash `_h` alongside `_salt`; partstats_mode="reverify"
             # instead re-hashes the on-disk payload bytes as a bit-level
             # integrity check)
-            ev_row = F.col("_src") == 1
-            won = ev_row & (F.col("_rn") == 1)
-            upsert = F.col("_op").isin("I", "U")
             obs = Observation(f"batch-{batch_id}")
-            ranked_obs = ranked.observe(
-                obs,
-                F.sum(F.when(won, 1).otherwise(0)).alias("applied"),
-                F.sum(F.when(ev_row & (F.col("_replay") == 1), 1).otherwise(0)).alias("dups"),
-                F.sum(F.when(ev_row & (F.col("_replay") == 0) & (F.col("_rn") > 1), 1).otherwise(0)).alias("superseded"),
-                F.sum(F.when(won & upsert & (F.col("_inc_live") == 0), 1).otherwise(0)).alias("ins"),
-                F.sum(F.when(won & upsert & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("upd"),
-                F.sum(F.when(won & (F.col("_op") == "D") & (F.col("_inc_live") == 1), 1).otherwise(0)).alias("del"),
-                F.sum(F.when((F.col("_rn") == 1) & (F.col("_op") != "D"), 1).otherwise(0)).alias("live_after"),
-                F.max(F.when(ev_row, F.col("_lsn"))).alias("mx"),
+            # one parsed SQL expression per aggregate (vs ~6 driver
+            # round-trips per Column build); `_src = 1 AND _rn = 1` is the
+            # "winning event row" predicate throughout
+            obs_exprs = [
+                "sum(if(_src = 1 AND _rn = 1, 1, 0)) AS applied",
+                "sum(if(_src = 1 AND _replay = 1, 1, 0)) AS dups",
+                "sum(if(_src = 1 AND _replay = 0 AND _rn > 1, 1, 0)) AS superseded",
+                "sum(if(_src = 1 AND _rn = 1 AND _op IN ('I', 'U') AND _inc_live = 0, 1, 0)) AS ins",
+                "sum(if(_src = 1 AND _rn = 1 AND _op IN ('I', 'U') AND _inc_live = 1, 1, 0)) AS upd",
+                "sum(if(_src = 1 AND _rn = 1 AND _op = 'D' AND _inc_live = 1, 1, 0)) AS `del`",
+                "sum(if(_rn = 1 AND _op <> 'D', 1, 0)) AS live_after",
+                "max(if(_src = 1, _lsn, null)) AS mx",
                 # op histogram folded into the SAME observation (3 more
                 # conditional sums on the one pipeline execution) — the old
                 # groupBy recompute re-ran the entire uncached merge when
                 # metrics=all
                 *[
-                    F.sum(
-                        F.when(
-                            ev_row & (F.col("_replay") == 0) & (F.col("_op") == o), 1
-                        ).otherwise(0)
-                    ).alias(f"op_{o}")
+                    f"sum(if(_src = 1 AND _replay = 0 AND _op = '{o}', 1, 0)) AS op_{o}"
                     for o in ("I", "U", "D")
                 ],
+            ]
+            if ts_parts:
                 # merge-proven append: count batch winners that displaced an
                 # existing incumbent key in a two-stream partition. Zero ⇒
                 # every two-stream winner file is key-disjoint from its
                 # incumbent and appends with no further jobs; non-zero ⇒ a
                 # narrow keys semi-join pinpoints which partitions overlap.
-                *(
-                    [
-                        F.sum(
-                            F.when(
-                                won
-                                & (F.col("_inc_any") == 1)
-                                & F.col(PART_COL).isin(ts_parts),
-                                1,
-                            ).otherwise(0)
-                        ).alias("displaced")
-                    ]
-                    if ts_parts
-                    else []
-                ),
-            )
+                ids = ", ".join(str(p) for p in ts_parts)
+                obs_exprs.append(
+                    "sum(if(_src = 1 AND _rn = 1 AND _inc_any = 1 AND "
+                    f"{PART_COL} IN ({ids}), 1, 0)) AS displaced"
+                )
+            ranked_obs = ranked.observe(obs, *[F.expr(s) for s in obs_exprs])
             keep = F.col("_rn") == 1
             if ts_parts:
                 # two-stream partitions: this job writes only the batch's

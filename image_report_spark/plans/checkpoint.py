@@ -85,7 +85,10 @@ class Checkpoint:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths).select("lsn")
+        # explicit schema: these files are written by write_seen_lsns with
+        # exactly one BIGINT column — skipping footer schema inference
+        # saves a driver round-trip per batch
+        return self.spark.read.schema("lsn BIGINT").parquet(*paths).select("lsn")
 
     # ---------------------------------------------------------------- commit
     def write_seen_lsns(self, batch_id: int, seen_lsns: DataFrame) -> None:

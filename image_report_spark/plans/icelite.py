@@ -274,6 +274,17 @@ class IceliteTable:
         attempt = uuid.uuid4().hex[:8]
         label = dir_label or f"b{batch_id:05d}"
         staging = os.path.join(self.root, "tmp", f"{label}-{attempt}")
+        # zstd level 1 (parquet default is 3): measured on the 2M×8 bench
+        # workload, level 1 writes ~4% more bytes (210 vs 202 MB) for
+        # ~12% less write+merge wall — level 3's extra search buys almost
+        # nothing on short transcript strings, and the encode CPU is paid
+        # on every COW rewrite of every incumbent row. Still well under
+        # snappy/lz4 bytes (the round-5 codec A/B), so the
+        # bandwidth/storage argument for zstd holds at either scale.
+        self.spark.sparkContext._jsc.hadoopConfiguration().set(
+            "parquet.compression.codec.zstd.level",
+            os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "1"),
+        )
         out_df = df_physical.withColumn("p", F.col(PART_COL))
         if not pre_partitioned:
             out_df = out_df.repartition(F.col(PART_COL))
