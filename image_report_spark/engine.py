@@ -163,7 +163,10 @@ def _driver_partition_stats(root: str, files: dict[int, list[str]]) -> list:
             "key_hi": hi,
         }
 
-    with ThreadPoolExecutor(max_workers=min(8, max(len(files), 1))) as ex:
+    # arrow releases the GIL for decode/IO, so threads scale to real
+    # parallelism; 16 ≈ one file-open round-trip amortized per ~8 files
+    # at the bench's 128 partitions
+    with ThreadPoolExecutor(max_workers=min(16, max(len(files), 1))) as ex:
         return list(ex.map(one, list(files.items())))
 
 
