@@ -89,17 +89,25 @@ def synth_changes(
     conv, turn, ts, op = conv[order], turn[order], ts[order], op[order]
     lsn = np.arange(len(op), dtype=np.int64)
 
-    conv_str = pd.Series(conv).map(lambda c: f"c{c:08d}").to_numpy()
-    # text: deterministic payload ~60 chars, no per-row python beyond pandas vectorized concat
+    # vectorized C-level string build (arrow compute): the earlier pandas
+    # .map(lambda)/.str.cat/.str.pad chain ran per-row python for ~4 s of
+    # the 2 M-event synthesis; byte-identical output is pinned by
+    # tests/test_benchgen_content.py
+    import pyarrow.compute as pc
+
+    conv_str = pc.binary_join_element_wise(
+        "c", pc.utf8_lpad(pc.cast(pa.array(conv), pa.string()), 8, "0"), ""
+    )
+    # text: deterministic payload ~60 chars, no per-row python
     word_id = (lsn * 2654435761) % 100000
-    text = pd.Series(conv_str).str.cat(
-        [
-            pd.Series(turn).astype(str),
-            pd.Series(op),
-            pd.Series(word_id).astype(str).str.pad(40, fillchar="x"),
-        ],
-        sep=":",
-    ).to_numpy()
+    text = pc.binary_join_element_wise(
+        conv_str,
+        pc.cast(pa.array(turn), pa.string()),
+        pa.array(op),
+        pc.utf8_lpad(pc.cast(pa.array(word_id), pa.string()), 40, "x"),
+        ":",
+    ).to_numpy(zero_copy_only=False)
+    conv_str = conv_str.to_numpy(zero_copy_only=False)
     is_del = op == "D"
     text = np.where(is_del, None, text)
     role = np.where(is_del, None, np.where(turn % 2 == 0, "user", "assistant"))
