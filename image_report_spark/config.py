@@ -225,6 +225,26 @@ class EngineConfig:
         != "0"
     )
 
+    #: exact bucket→shuffle-partition placement for the fused COW merge
+    #: (operators/shards.py): repartition on a murmur3-preimage proxy of
+    #: ``pmod(p, n_shards)`` so every merge stage runs uniform waves of
+    #: exactly-placed tasks instead of the hash-collision + AQE-coalesced
+    #: 10–36 task shapes (guide §2.5). Placement only: same rows per
+    #: bucket, same window groups, same files (pinned in
+    #: tests/test_shards.py). DEFAULT OFF, measured: on warm local[32]
+    #: the AQE-sized exchange wins every order-alternated pair
+    #: (write+merge 14.0–14.9 s vs 15.6–18.1 s at 32/64/128 shards on
+    #: the 2 M × 8 bench workload) — staggered, size-aware tasks mask
+    #: this host's hypervisor steal better than synchronized uniform
+    #: waves, and extra tasks pay a fixed ~0.1 s deserialize cost.
+    #: ``SPARK_GRAFT_MERGE_SHARDS=1`` (or a shard count >1) opts in —
+    #: the shape to re-measure on a real cluster where shuffle blocks
+    #: cross a network and AQE coalescing targets MB-scale partitions.
+    merge_exact_shards: bool = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_MERGE_SHARDS", "0")
+        not in ("0", "")
+    )
+
     #: a partition is two-stream-eligible only while its incumbent file
     #: count is below this bound; at/above it the batch takes the fused
     #: rewrite, which coalesces the partition back to one file. This is

@@ -51,6 +51,7 @@ from image_report_spark.config import EngineConfig
 from image_report_spark.functions.digests import canonical_cols, SEP, table_digest
 from image_report_spark.operators.evolution import reconcile_schema
 from image_report_spark.operators.resolve import resolve_lww_grouped
+from image_report_spark.operators.shards import shard_expr_sql
 from image_report_spark.operators.skew import detect_hot_keys, salt_hot_keys
 from image_report_spark.plans.checkpoint import Checkpoint
 from image_report_spark.plans.icelite import IceliteTable, partition_expr, PART_COL
@@ -841,15 +842,42 @@ class CdcEngine:
             # but NOT out of hashpartitioning, which would defeat the
             # subset-satisfaction rule and buy a second Exchange
             # (asserted in tests/test_plans.py)
-            repart_cols = [F.col(PART_COL)] + ([F.col("_salt")] if hot_buckets else [])
-            u = (
-                incumbent.unionByName(evt)
-                .withColumn("_salt", salt)
+            u = incumbent.unionByName(evt).withColumn("_salt", salt)
+            use_shards = cfg.merge_exact_shards and not hot_buckets
+            if use_shards:
+                # exact bucket→partition placement (operators/shards.py):
+                # bucket p lands in shuffle partition p mod n_shards, so the
+                # merge stage is one full-width wave of uniform tasks —
+                # width from defaultParallelism at runtime, capped by
+                # num_buckets (the table's own scale knob), never a local
+                # core constant. The explicit count keeps AQE from re-
+                # cutting the stage to a size-based task count (measured:
+                # 10–36 tasks on 32 cores with collision skew).
+                override = int(os.environ.get("SPARK_GRAFT_MERGE_SHARDS", "0"))
+                n_shards = max(
+                    1,
+                    min(
+                        num_buckets,
+                        # wave-count A/B override: >1 forces that shard count
+                        override
+                        if override > 1
+                        else self.spark.sparkContext.defaultParallelism,
+                    ),
+                )
+                u = u.selectExpr(
+                    "*", f"{shard_expr_sql(PART_COL, n_shards)} AS _shard"
+                ).repartition(n_shards, F.col("_shard"))
+            else:
+                # salted hot buckets keep the AQE-sized exchange: the salt
+                # already spreads the hot bucket, and the shard proxy would
+                # need (bucket, salt)-pair placement to beat it
+                repart_cols = [F.col(PART_COL)] + (
+                    [F.col("_salt")] if hot_buckets else []
+                )
                 # no explicit partition count: AQE sizes/coalesces the
                 # exchange; parallelism comes from #buckets × salt, so
                 # num_buckets (not shuffle.partitions) is the scale knob
-                .repartition(*repart_cols)
-            )
+                u = u.repartition(*repart_cols)
             # ONE window sort serves everything: within a key, rows sharing
             # an LSN (exact replays — byte-identical; an idempotent re-apply
             # pairs the event with its incumbent) sort adjacently, so replay
@@ -861,7 +889,12 @@ class CdcEngine:
             # (built as SQL text — one driver round-trip for the whole
             # window block instead of one per Column; parses to the same
             # WindowExec, pinned by the single-exchange plan test)
-            part_spec = f"PARTITION BY {PART_COL}, _salt, conv_id, turn_idx"
+            # `_shard` is a pure function of `_p`, so prepending it to the
+            # window partition keys changes no group; it is there solely so
+            # hashpartitioning(_shard) satisfies the window's clustering
+            # (the subset rule) without a second Exchange
+            shard_pfx = "_shard, " if use_shards else ""
+            part_spec = f"PARTITION BY {shard_pfx}{PART_COL}, _salt, conv_id, turn_idx"
             order_spec = (
                 f"{part_spec} ORDER BY ts DESC NULLS LAST, "
                 "_lsn DESC NULLS LAST, _src ASC"  # exact tie → incumbent wins
@@ -955,12 +988,17 @@ class CdcEngine:
                 cfg.partstats_mode == "stored"
                 and 0 < len(touched) <= cfg.partstats_observe_limit
             )
+            # `_shard` rides to the writer like `_salt` (constant per file →
+            # RLE'd to ~nothing, invisible to the schema-projected reads):
+            # dropping it would truncate the window's known output ordering
+            # at its leading key and force a second full sort per batch
+            extra_cols = ["_salt"] + (["_shard"] if use_shards else [])
             if cfg.partstats_mode == "reverify":
-                to_write = merged.select(*(phys_cols + ["_salt"]))
+                to_write = merged.select(*(phys_cols + extra_cols))
             else:
                 to_write = merged.withColumn(
                     "_h", _live_row_hash(merged, checksum_cols)
-                ).select(*(phys_cols + ["_salt", "_h"]))
+                ).select(*(phys_cols + extra_cols + ["_h"]))
             if use_pobs:
                 pobs = Observation(f"pstats-{batch_id}")
                 # ONE named_struct expression (single py4j call, parsed

@@ -294,7 +294,13 @@ class IceliteTable:
         # the extra 4-byte column in the files is RLE'd to nothing and
         # ignored by schema-projected reads
         if sort_cols is None:
-            sort_cols = (
+            # `_shard` (exact merge placement, operators/shards.py) leads
+            # when present: the merge window's output ordering starts with
+            # it, so leading with it here is what lets the optimizer elide
+            # this sort; it is constant per bucket, so within-bucket (and
+            # therefore within-file) row order is unchanged
+            sort_cols = ["_shard"] if "_shard" in df_physical.columns else []
+            sort_cols += (
                 [PART_COL, "_salt", "conv_id", "turn_idx"]
                 if "_salt" in df_physical.columns
                 else [PART_COL, "conv_id", "turn_idx"]
@@ -313,6 +319,14 @@ class IceliteTable:
             .option(
                 "compression",
                 os.environ.get("SPARK_GRAFT_DATA_CODEC", "zstd"),
+            )
+            # dictionary-encoding A/B knob: transcript payloads are
+            # near-unique strings, where the dictionary build is pure
+            # encode-side overhead (hash-probe per value until the 1 MB
+            # dictionary page overflows) — measured via SPARK_GRAFT_PARQUET_DICT
+            .option(
+                "parquet.enable.dictionary",
+                os.environ.get("SPARK_GRAFT_PARQUET_DICT", "true"),
             )
             .mode("overwrite")
             .parquet(staging)
