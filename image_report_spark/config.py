@@ -332,6 +332,26 @@ class EngineConfig:
     #: (tests/test_partstats.py). 0 disables the driver tier.
     partstats_driver_bytes_limit: int = 128 * 1024 * 1024
 
+    #: per-row checksum hash definition for NEW tables, frozen into the
+    #: snapshot at create (like ``checksum_columns``) so every tier —
+    #: stored/observe/driver read-back, reverify, MOR compact, replay
+    #: verify — hashes identically for the table's whole lifetime.
+    #: "typed" (default): xxhash64 over native typed columns with typed
+    #: NULL sentinels (functions/digests.py:typed_row_digest) — no per-row
+    #: cast-strings or concat buffer, removing ~200 B of garbage per
+    #: written row from a merge stage measured at 46-73% JVM GC time
+    #: (BENCH/merge_stage_profile.py, BENCH/rowhash_probe.py: the
+    #: canonical form costs 0.25-0.3 s per 2 M rows before GC
+    #: amplification). "canonical": the original string-canonicalized
+    #: form — pre-existing tables (no ``rowhash_mode`` in their snapshot)
+    #: always read as canonical, so their manifests remain valid and
+    #: append-path xor-combines never mix definitions (the per-entry
+    #: ``ck_id`` additionally tags the mode). Checksums are an internal
+    #: integrity contract; no external system consumes their values.
+    rowhash_mode: str = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_ROWHASH", "typed")
+    )
+
     selected_metrics: set[str] = field(init=False, repr=False)
 
     def __post_init__(self) -> None:
@@ -361,6 +381,10 @@ class EngineConfig:
             )
         if self.partstats_observe_limit < 0:
             raise ValueError("partstats_observe_limit must be >= 0")
+        if self.rowhash_mode not in ("typed", "canonical"):
+            raise ValueError(
+                f"rowhash_mode must be typed|canonical, got {self.rowhash_mode!r}"
+            )
         if self.cow_two_stream_max_files < 1:
             raise ValueError("cow_two_stream_max_files must be >= 1")
         if self.cow_two_stream_min_rows < 0:

@@ -48,7 +48,12 @@ from pyspark.sql.types import (
 )
 
 from image_report_spark.config import EngineConfig
-from image_report_spark.functions.digests import canonical_cols, SEP, table_digest
+from image_report_spark.functions.digests import (
+    SEP,
+    canonical_cols,
+    table_digest,
+    typed_row_digest,
+)
 from image_report_spark.operators.evolution import reconcile_schema
 from image_report_spark.operators.resolve import resolve_lww_grouped
 from image_report_spark.operators.shards import shard_expr_sql
@@ -85,26 +90,38 @@ _PARTSTATS_SCHEMA = StructType(
 )
 
 
-def _checksum_cols_id(checksum_cols: list[str]) -> str:
-    """Short stable id of the checksum column SET a partition entry's
-    ``checksum`` was computed over. The append fast-path may only
-    xor-combine an old entry's checksum with fresh per-row hashes when
-    both were computed over the same column set — after an additive
-    schema evolution on a table without frozen ``checksum_columns`` the
-    set changes, old entries stop matching, and those partitions fall
-    back to a full rewrite (which re-hashes them under the new set and
-    restores appendability)."""
-    return format(zlib.crc32("\x1f".join(checksum_cols).encode()), "08x")
+def _checksum_cols_id(checksum_cols: list[str], rowhash_mode: str = "canonical") -> str:
+    """Short stable id of the checksum column SET (and hash definition) a
+    partition entry's ``checksum`` was computed over. The append fast-path
+    may only xor-combine an old entry's checksum with fresh per-row hashes
+    when both were computed over the same column set AND the same hash
+    definition — after an additive schema evolution on a table without
+    frozen ``checksum_columns`` the set changes, old entries stop
+    matching, and those partitions fall back to a full rewrite (which
+    re-hashes them under the new set and restores appendability). The
+    ``rowhash_mode`` tag extends the same guard across hash-definition
+    changes; canonical mode keeps the historical id format so manifests
+    written before the mode existed stay appendable."""
+    base = format(zlib.crc32("\x1f".join(checksum_cols).encode()), "08x")
+    return base if rowhash_mode == "canonical" else f"{base}:{rowhash_mode}"
 
 
-def _live_row_hash(df: DataFrame, checksum_cols: list[str]):
+def _live_row_hash(
+    df: DataFrame, checksum_cols: list[str], rowhash_mode: str = "canonical"
+):
     """Per-row content hash of LIVE rows — NULL for tombstones so the
     partition ``bit_xor`` skips them. This is the unit of the
-    order-independent partition checksum (functions/digests.py:54-73)."""
-    return F.when(
-        F.col("_op") != "D",
-        F.xxhash64(F.concat_ws(SEP, *canonical_cols(df, checksum_cols))),
-    )
+    order-independent partition checksum (functions/digests.py).
+    ``rowhash_mode`` comes from the table snapshot (frozen at create):
+    "typed" hashes native columns directly (no canonical cast-strings or
+    concat buffer — see digests.typed_row_digest for the measured GC
+    motivation), "canonical" is the original string-canonicalized form
+    kept for tables created before the mode existed."""
+    if rowhash_mode == "typed":
+        h = typed_row_digest(df, checksum_cols)
+    else:
+        h = F.xxhash64(F.concat_ws(SEP, *canonical_cols(df, checksum_cols)))
+    return F.when(F.col("_op") != "D", h)
 
 
 def _driver_partition_stats(root: str, files: dict[int, list[str]]) -> list:
@@ -179,6 +196,7 @@ def _written_partition_stats(
     checksum_cols: list[str],
     mode: str,
     driver_bytes_limit: int = 0,
+    rowhash_mode: str = "canonical",
 ) -> list:
     """Per-partition lineage (row counts, live rows, last applied LSN,
     order-independent checksum) aggregated from freshly WRITTEN files.
@@ -207,7 +225,7 @@ def _written_partition_stats(
     written_paths = [os.path.join(root, f) for fl in files.values() for f in fl]
     if mode == "reverify":
         wdf = spark.read.schema(physical_schema(logical)).parquet(*written_paths)
-        h = _live_row_hash(wdf, checksum_cols)
+        h = _live_row_hash(wdf, checksum_cols, rowhash_mode)
     else:
         wdf = spark.read.schema(_PARTSTATS_SCHEMA).parquet(*written_paths)
         h = F.col("_h")
@@ -403,10 +421,12 @@ class CdcEngine:
                 num_buckets=config.num_buckets,
                 format_version=config.format_version,
             )
-            # checksum column set is frozen at creation so partition digests
-            # stay comparable across schema evolution (evolved columns are
-            # verified by full-content replay diff, not by the rolling digest)
+            # checksum column set + hash definition are frozen at creation so
+            # partition digests stay comparable across schema evolution
+            # (evolved columns are verified by full-content replay diff, not
+            # by the rolling digest)
             eng.table.set_checksum_columns([f.name for f in schema.fields])
+            eng.table.set_rowhash_mode(config.rowhash_mode)
         return eng
 
     # ------------------------------------------------------------ the merge
@@ -505,6 +525,9 @@ class CdcEngine:
         logical = self.table.logical_schema(snap)
         num_buckets = self.table.num_buckets(snap)
         checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+        # hash definition frozen at table create; absent field (pre-mode
+        # tables) means canonical — their manifests stay valid as-is
+        rowhash_mode = snap.get("rowhash_mode") or "canonical"
 
         # 1. bucket pre-pass (see _prepass) — either computed here or handed
         # in by run()'s pipeline, which overlapped it with the previous
@@ -637,7 +660,7 @@ class CdcEngine:
             # The overlap check is a keys-only columnar scan (3 narrow
             # columns) of candidate partitions semi-joined with the
             # batch's keys; update/delete buckets skip it entirely.
-            ck_id = _checksum_cols_id(checksum_cols)
+            ck_id = _checksum_cols_id(checksum_cols, rowhash_mode)
             append_parts: set[int] = set()
             if cfg.cow_append_fastpath:
                 insert_only = {
@@ -997,7 +1020,7 @@ class CdcEngine:
                 to_write = merged.select(*(phys_cols + extra_cols))
             else:
                 to_write = merged.withColumn(
-                    "_h", _live_row_hash(merged, checksum_cols)
+                    "_h", _live_row_hash(merged, checksum_cols, rowhash_mode)
                 ).select(*(phys_cols + extra_cols + ["_h"]))
             if use_pobs:
                 pobs = Observation(f"pstats-{batch_id}")
@@ -1126,7 +1149,7 @@ class CdcEngine:
                         )
                         if cfg.partstats_mode != "reverify":
                             surv = surv.withColumn(
-                                "_h", _live_row_hash(surv, checksum_cols)
+                                "_h", _live_row_hash(surv, checksum_cols, rowhash_mode)
                             )
                         if use_pobs:
                             pobs2 = Observation(f"pstats2-{batch_id}")
@@ -1210,6 +1233,7 @@ class CdcEngine:
                 part_rows = _written_partition_stats(
                     self.spark, self.table.root, files, evolved, checksum_cols,
                     cfg.partstats_mode, cfg.partstats_driver_bytes_limit,
+                    rowhash_mode,
                 )
             _tick("partstats")
             rpt.applied = int(stats["applied"] or 0)
@@ -1600,6 +1624,7 @@ class CdcEngine:
         snap = self.table.snapshot()
         logical = self.table.logical_schema(snap)
         checksum_cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+        rowhash_mode = snap.get("rowhash_mode") or "canonical"
         dirty = [
             e
             for e in snap["manifest"]
@@ -1619,7 +1644,7 @@ class CdcEngine:
             # read-back; reverify re-hashes the on-disk payloads instead,
             # so don't pay 8 incompressible bytes/row for an unread column
             resolved = resolved.withColumn(
-                "_h", _live_row_hash(resolved, checksum_cols)
+                "_h", _live_row_hash(resolved, checksum_cols, rowhash_mode)
             )
         label = f"c{snap['snapshot_id']:05d}"
         files = self.table.write_partition_files(
@@ -1628,8 +1653,9 @@ class CdcEngine:
         part_rows = _written_partition_stats(
             self.spark, self.table.root, files, logical, checksum_cols,
             self.config.partstats_mode, self.config.partstats_driver_bytes_limit,
+            rowhash_mode,
         )
-        ck_id = _checksum_cols_id(checksum_cols)
+        ck_id = _checksum_cols_id(checksum_cols, rowhash_mode)
         replaced = {}
         for r in part_rows:
             p = int(r[PART_COL])
@@ -1749,10 +1775,15 @@ class CdcEngine:
         # Copy the live set over so both digests hash the same column set —
         # otherwise replay_verify reports ok=False after any schema evolution
         # even when content is identical.
-        live_ck = self.table.snapshot().get("checksum_columns")
+        live_snap = self.table.snapshot()
+        live_ck = live_snap.get("checksum_columns")
         if live_ck is not None:
             fsnap = fresh.table.snapshot()
             fsnap["checksum_columns"] = list(live_ck)
+            # the hash definition must match too, or content-identical
+            # tables report digest mismatch (same reasoning as the column
+            # set; absent field = canonical, so copy the absence as well)
+            fsnap["rowhash_mode"] = live_snap.get("rowhash_mode") or "canonical"
             fresh.table._write_snapshot(fsnap)
         fresh.run(log_dir)
         a, b = self.read(), fresh.read()

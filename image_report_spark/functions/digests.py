@@ -46,6 +46,58 @@ def row_digest(df: DataFrame, cols: list[str]) -> Column:
     return F.xxhash64(F.concat_ws(SEP, *canonical_cols(df, cols)))
 
 
+#: typed NULL sentinels for ``typed_row_digest`` — values no real row can
+#: carry (LONG_MIN microseconds is the year −290308; the string sentinel is
+#: the same control-character form the canonical digest uses)
+_LONG_MIN = -(1 << 63)
+_INT_MIN = -(1 << 31)
+
+
+def typed_cols(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Columns prepared for a typed (allocation-free) xxhash64.
+
+    Unlike :func:`canonical_cols`, nothing is cast to string: xxhash64
+    hashes native ints/longs/strings directly, so the only per-row work
+    is the hash fold itself. NULLs are replaced by typed sentinels so a
+    NULL still contributes to the hash at its position (a bare
+    ``xxhash64(col)`` SKIPS null inputs, which would make row
+    ``(NULL, "x")`` collide with ``("x", NULL)`` across adjacent columns).
+    Timestamps hash as microseconds-since-epoch (timezone-proof, same
+    normalization canonical mode uses). Types outside the fast set fall
+    back to the canonical string form for that column only.
+    """
+    out = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt.startswith("timestamp"):
+            out.append(F.coalesce(F.unix_micros(col), F.lit(_LONG_MIN)))
+        elif dt == "bigint":
+            out.append(F.coalesce(col, F.lit(_LONG_MIN)))
+        elif dt in ("int", "smallint", "tinyint"):
+            out.append(F.coalesce(col, F.lit(_INT_MIN).cast(dt)))
+        elif dt == "string":
+            out.append(F.coalesce(col, F.lit(NULL)))
+        else:
+            out.append(F.coalesce(col.cast("string"), F.lit(NULL)))
+    return out
+
+
+def typed_row_digest(df: DataFrame, cols: list[str]) -> Column:
+    """Per-row content hash without the canonical string materialization.
+
+    ``xxhash64`` over :func:`typed_cols` — same 64-bit contract as
+    :func:`row_digest` but different values: no per-row cast-strings, no
+    concat buffer (the canonical form allocates ~200 B of garbage per row,
+    measured at 0.25–0.3 s per 2 M rows plus GC amplification across 32
+    concurrent merge tasks — BENCH/rowhash_probe.py). Used as the engine's
+    default partition-checksum unit (``EngineConfig.rowhash_mode``); the
+    canonical form remains for pre-existing tables and for the golden
+    sha2 digest, whose values are externally comparable.
+    """
+    return F.xxhash64(*typed_cols(df, cols))
+
+
 def row_digest_sha2(df: DataFrame, cols: list[str]) -> Column:
     """Golden per-row digest (sha256 hex over the canonical form)."""
     return F.sha2(F.concat_ws(SEP, *canonical_cols(df, cols)), 256)

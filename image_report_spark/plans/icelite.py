@@ -398,6 +398,8 @@ class IceliteTable:
         }
         if "checksum_columns" in prev:
             snap["checksum_columns"] = prev["checksum_columns"]
+        if "rowhash_mode" in prev:
+            snap["rowhash_mode"] = prev["rowhash_mode"]
         if "merge_keys" in prev:
             snap["merge_keys"] = prev["merge_keys"]
         self._write_snapshot(snap)
@@ -476,6 +478,14 @@ class IceliteTable:
         evolution because evolved columns never enter the rolling digest."""
         snap = self.snapshot()
         snap["checksum_columns"] = list(cols)
+        self._write_snapshot(snap)
+
+    def set_rowhash_mode(self, mode: str) -> None:
+        """Freeze the per-row checksum hash definition (see
+        ``EngineConfig.rowhash_mode``). Snapshots without the field read
+        as "canonical" — the definition that produced their manifests."""
+        snap = self.snapshot()
+        snap["rowhash_mode"] = mode
         self._write_snapshot(snap)
 
     # -------------------------------------------------------------- maintenance
