@@ -336,6 +336,17 @@ class IceliteTable:
             .option("parquet.enable.dictionary#role", "true")
             .option("parquet.enable.dictionary#tool", "true")
             .option("parquet.enable.dictionary#_op", "true")
+            # per-page CRC32 (A/B via env): write-side bookkeeping nothing
+            # in the engine reads — no read path verifies page CRCs
+            # (parquet.page.verify-checksum.enabled defaults false) and the
+            # engine's own end-to-end integrity tier is the row-hash
+            # checksum + "reverify" mode. (parquet.size.statistics.enabled
+            # was also A/B'd: byte-identical files both ways on this
+            # workload — a no-op, so no knob for it.)
+            .option(
+                "parquet.page.write-checksum.enabled",
+                os.environ.get("SPARK_GRAFT_PAGE_CRC", "true"),
+            )
             .mode("overwrite")
             .parquet(staging)
         )
