@@ -136,7 +136,6 @@ def _driver_partition_stats(root: str, files: dict[int, list[str]]) -> list:
     file renames and manifest JSON it already performs per commit —
     instead of paying a Spark job's fixed scheduling latency to do it."""
     import numpy as np
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -147,30 +146,55 @@ def _driver_partition_stats(root: str, files: dict[int, list[str]]) -> list:
         x = 0
         lo = hi = None
         for rel in rels:
-            t = pq.read_table(
-                os.path.join(root, rel),
-                columns=["conv_id", "_lsn", "_op", "_h"],
-            )
-            n += t.num_rows
-            live += (
-                pc.sum(
-                    pc.cast(
-                        pc.not_equal(t.column("_op"), pa.scalar("D")),
-                        pa.int64(),
-                    )
-                ).as_py()
-                or 0
-            )
-            m = pc.max(t.column("_lsn")).as_py()
-            if m is not None:
-                mx = m if mx is None else max(mx, m)
+            # Only `_h` is READ: `_h` is NULL exactly for tombstones
+            # (xxhash64 over coalesced/concat inputs is never null for a
+            # live row), so its non-null count IS the live-row count and
+            # its values feed the xor checksum. Everything else comes
+            # from file metadata: row_count from the footer, conv_id
+            # min/max and _lsn max from the row-group statistics our own
+            # writer just wrote (no truncation configured ⇒ exact;
+            # parquet's unsigned-byte string order == Spark's binary
+            # collation == python str comparison — the same equivalence
+            # the full-column path relied on). A chunk without min/max
+            # (all-null conv_id — null merge keys are legal) falls back
+            # to reading that column for that file.
+            pf = pq.ParquetFile(os.path.join(root, rel))
+            md = pf.metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            n += md.num_rows
+            need_read: set = set()
+            f_lo = f_hi = None
+            f_mx = None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                if rg.num_rows == 0:
+                    continue
+                s_c = rg.column(idx["conv_id"]).statistics
+                s_l = rg.column(idx["_lsn"]).statistics
+                if s_c is not None and s_c.has_min_max:
+                    f_lo = s_c.min if f_lo is None else min(f_lo, s_c.min)
+                    f_hi = s_c.max if f_hi is None else max(f_hi, s_c.max)
+                else:
+                    need_read.add("conv_id")
+                if s_l is not None and s_l.has_min_max:
+                    f_mx = s_l.max if f_mx is None else max(f_mx, s_l.max)
+                else:
+                    need_read.add("_lsn")
+            t = pf.read(columns=["_h"] + sorted(need_read))
+            if "conv_id" in need_read:
+                mm = pc.min_max(t.column("conv_id")).as_py()
+                f_lo, f_hi = mm["min"], mm["max"]
+            if "_lsn" in need_read:
+                f_mx = pc.max(t.column("_lsn")).as_py()
+            if f_mx is not None:
+                mx = f_mx if mx is None else max(mx, f_mx)
+            if f_lo is not None:
+                lo = f_lo if lo is None else min(lo, f_lo)
+                hi = f_hi if hi is None else max(hi, f_hi)
             hv = t.column("_h").drop_null().to_numpy(zero_copy_only=False)
+            live += len(hv)
             if len(hv):
                 x ^= int(np.bitwise_xor.reduce(hv.astype(np.int64).view(np.uint64)))
-            mm = pc.min_max(t.column("conv_id")).as_py()
-            if mm["min"] is not None:
-                lo = mm["min"] if lo is None else min(lo, mm["min"])
-                hi = mm["max"] if hi is None else max(hi, mm["max"])
         return {
             PART_COL: p,
             "row_count": n,

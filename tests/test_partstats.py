@@ -236,6 +236,46 @@ def test_second_batch_and_reapply_stable_under_observe_tier(spark, tmp_path):
     assert rpt2.conservation_ok()
 
 
+def test_driver_tier_matches_spark_readback_with_null_keys(spark, tmp_path):
+    """Null merge keys are legal and produce files whose conv_id column
+    chunk can be all-null (no footer min/max) — the driver tier's
+    footer-statistics shortcut must fall back to reading the column and
+    still match the Spark read-back exactly."""
+    rows = _events_df(spark).toPandas()
+    extra = rows.iloc[:3].copy()
+    extra["conv_id"] = None
+    extra["lsn"] = extra["lsn"] + 5000
+    pdf = pd.concat([rows, extra], ignore_index=True)
+    ev = spark.createDataFrame(
+        pdf,
+        schema="lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string, tool string, ts timestamp",
+    )
+    eng = CdcEngine.init(
+        spark,
+        str(tmp_path / "nullk" / "tbl"),
+        str(tmp_path / "nullk" / "cp"),
+        config=EngineConfig(num_buckets=4, partstats_observe_limit=0),
+    )
+    eng.apply_batch(ev, 0)
+    snap = eng.table.snapshot()
+    logical = eng.table.logical_schema()
+    cols = snap.get("checksum_columns") or [f.name for f in logical.fields]
+    files = {
+        e["partition"]: e["files"] for e in snap["manifest"] if e["files"]
+    }
+    via_job = engine_mod._written_partition_stats(
+        spark, eng.table.root, files, logical, cols, "stored", 0,
+        snap.get("rowhash_mode") or "canonical",
+    )
+    via_driver = engine_mod._driver_partition_stats(eng.table.root, files)
+    key = lambda r: int(r["_p"])
+    for a, b in zip(sorted(via_job, key=key), sorted(via_driver, key=key)):
+        for f in ("row_count", "live_rows", "last_applied_lsn", "checksum",
+                  "key_lo", "key_hi"):
+            assert a[f] == b[f], (a["_p"], f, a[f], b[f])
+
+
 def test_driver_tier_matches_spark_readback(spark, tmp_path):
     """The driver-side arrow read-back (partstats_driver_bytes_limit)
     produces byte-identical stats to the Spark-job read-back on the same
